@@ -1,0 +1,696 @@
+"""Pure-NumPy MergingDigest — the algorithmic core of the library.
+
+This is a from-scratch, vectorized re-implementation of the semantics of
+the reference MergingDigest
+(``core/src/main/java/com/tdunning/math/stats/MergingDigest.java``):
+
+- buffered add: samples accumulate in a temp buffer; when it fills, one
+  stable-sorted merge pass fuses them into the live centroids
+  (MergingDigest.java:249-284, 352-496).
+- two-level compression: a working compression ``sqrt(scale) * delta``
+  during accumulation, the public ``delta`` on compress/serialize
+  (MergingDigest.java:200-216, 549-552).
+- alternating merge direction to kill left-to-right bias
+  (MergingDigest.java:99-100, 362-364).
+- weight-limit (default) or k-limit merge criterion
+  (MergingDigest.java:418-432).
+- forced singleton endpoints: the first and last sorted elements never
+  fuse (MergingDigest.java:433-436), which is what preserves ppm-level
+  tail accuracy.
+- singleton-aware interpolation in ``cdf``/``quantile``
+  (MergingDigest.java:559-783).
+- byte-compatible VERBOSE / SMALL encodings (MergingDigest.java:868-936,
+  big-endian like Java ByteBuffer).
+
+Unlike the reference's per-sample scalar loop, the merge pass here is
+vectorized: per *output centroid* we do O(1) NumPy calls
+(``searchsorted`` + a sliced comparison), so Python-level work is
+O(number of centroids) per merge — independent of batch size — and all
+per-sample work (sort, cumsum, segment means) is NumPy C code.  See
+SURVEY.md §7.3.
+
+Weights are float64 throughout so digests can count far beyond 2^31
+samples (reference ``totalWeight`` is double, MergingDigest.java:74;
+BigCount.java).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .scale import K_2, get_scale
+
+__all__ = ["TDigest", "merge_digests"]
+
+_VERBOSE_ENCODING = 1
+_SMALL_ENCODING = 2
+
+
+class TDigest:
+    """A merging t-digest over float64 samples.
+
+    Parameters
+    ----------
+    compression:
+        The public compression delta (number of retained centroids is
+        between delta/2 and delta for normalized scale functions).
+    buffer_size:
+        Temp-buffer capacity before a merge pass is triggered.  Larger
+        buffers amortize merge cost and *increase* in-flight accuracy via
+        two-level compression.  -1 → reference default (5 * size).
+    size:
+        Live-centroid array capacity. -1 → reference default.
+    scale:
+        Scale function (name or object); default K_2 (TDigest.java:45).
+    use_weight_limit / use_alternating_sort / use_two_level_compression:
+        The reference's three merge-strategy flags, same defaults
+        (MergingDigest.java:99-108).
+    """
+
+    __slots__ = (
+        "public_compression", "compression", "scale",
+        "_size", "_buffer_size",
+        "_mean", "_weight", "_ncentroids", "_total_weight",
+        "_tmean", "_tweight", "_tcount", "_unmerged_weight",
+        "_min", "_max", "_merge_count",
+        "use_weight_limit", "use_alternating_sort",
+        "use_two_level_compression",
+    )
+
+    def __init__(self, compression: float = 100.0, buffer_size: int = -1,
+                 size: int = -1, scale=K_2, *,
+                 use_weight_limit: bool = True,
+                 use_alternating_sort: bool = True,
+                 use_two_level_compression: bool = True):
+        scale = get_scale(scale)
+        if not scale.normalized:
+            # MergingDigest.java:853-856 — non-normalized scale functions
+            # have unbounded centroid counts, incompatible with the
+            # fixed-size design.
+            raise ValueError(
+                f"{scale.name} is not usable with TDigest "
+                "(unbounded cluster count)")
+        self.scale = scale
+        self.use_weight_limit = use_weight_limit
+        self.use_alternating_sort = use_alternating_sort
+        self.use_two_level_compression = use_two_level_compression
+
+        # --- sizing, mirroring MergingDigest.java:142-228 -------------
+        compression = float(compression)
+        if compression < 10:
+            compression = 10.0
+        size_fudge = 0.0
+        if use_weight_limit:
+            size_fudge = 10.0
+            if compression < 30:
+                size_fudge += 20.0
+        size = int(max(2 * compression + size_fudge, size))
+        if buffer_size == -1:
+            buffer_size = 5 * size
+        if buffer_size <= 2 * size:
+            buffer_size = 2 * size
+        scale_ratio = max(1.0, buffer_size / size - 1.0)
+        if not use_two_level_compression:
+            scale_ratio = 1.0
+        self.public_compression = compression
+        self.compression = math.sqrt(scale_ratio) * compression
+        if size < self.compression + size_fudge:
+            size = int(math.ceil(self.compression + size_fudge))
+        if buffer_size <= 2 * size:
+            buffer_size = 2 * size
+        self._size = size
+        self._buffer_size = buffer_size
+
+        # live centroids (sorted by mean, first/last are singletons)
+        self._mean = np.empty(0, dtype=np.float64)
+        self._weight = np.empty(0, dtype=np.float64)
+        self._ncentroids = 0
+        self._total_weight = 0.0
+
+        # temp buffer for incoming samples
+        self._tmean = np.empty(buffer_size, dtype=np.float64)
+        self._tweight = np.empty(buffer_size, dtype=np.float64)
+        self._tcount = 0
+        self._unmerged_weight = 0.0
+
+        self._min = math.inf
+        self._max = -math.inf
+        self._merge_count = 0
+
+    # ------------------------------------------------------------------
+    # ingest
+    # ------------------------------------------------------------------
+
+    def add(self, x, w: float = 1.0) -> None:
+        """Add one weighted sample (TDigest.java:92)."""
+        self.add_batch(np.asarray([x], dtype=np.float64),
+                       np.asarray([w], dtype=np.float64))
+
+    def add_batch(self, values, weights=None) -> None:
+        """Vectorized insert of a batch of samples.
+
+        This is the Spark hot path: an Arrow batch column lands here as
+        one NumPy array; per-sample Python cost is zero.
+        """
+        values = np.ascontiguousarray(values, dtype=np.float64)
+        if values.ndim != 1:
+            values = values.ravel()
+        if values.size == 0:
+            return
+        if np.isnan(values).any():
+            # TDigest.java:94-98 — NaN is an error, not a skip
+            raise ValueError("Cannot add NaN to t-digest")
+        if weights is None:
+            weights = np.ones_like(values)
+        else:
+            weights = np.ascontiguousarray(weights, dtype=np.float64)
+            if weights.shape != values.shape:
+                raise ValueError("weights shape mismatch")
+            if (weights <= 0).any():
+                raise ValueError("weights must be > 0")
+
+        # min/max update happens at add time (MergingDigest.java:265-270)
+        self._min = min(self._min, float(values.min()))
+        self._max = max(self._max, float(values.max()))
+
+        pos = 0
+        n = values.size
+        while pos < n:
+            # leave headroom for live centroids like the reference's
+            # overflow check (MergingDigest.java:258-260)
+            room = self._buffer_size - self._tcount - self._ncentroids - 1
+            if room <= 0:
+                self._merge_new_values(False, self.compression)
+                continue
+            take = min(room, n - pos)
+            t = self._tcount
+            self._tmean[t:t + take] = values[pos:pos + take]
+            self._tweight[t:t + take] = weights[pos:pos + take]
+            self._tcount += take
+            self._unmerged_weight += float(weights[pos:pos + take].sum())
+            pos += take
+
+    def add_centroids(self, means, weights, d_min: float, d_max: float) -> None:
+        """Merge another digest's centroid arrays into this one
+        (AbstractTDigest.java:132-137 / MergingDigest.java:307-350).
+
+        min/max come from the *other digest's recorded extremes*, not its
+        centroid means.
+        """
+        means = np.ascontiguousarray(means, dtype=np.float64)
+        weights = np.ascontiguousarray(weights, dtype=np.float64)
+        if means.size == 0:
+            return
+        self._min = min(self._min, float(d_min))
+        self._max = max(self._max, float(d_max))
+        pos = 0
+        n = means.size
+        while pos < n:
+            room = self._buffer_size - self._tcount - self._ncentroids - 1
+            if room <= 0:
+                self._merge_new_values(False, self.compression)
+                continue
+            take = min(room, n - pos)
+            t = self._tcount
+            self._tmean[t:t + take] = means[pos:pos + take]
+            self._tweight[t:t + take] = weights[pos:pos + take]
+            self._tcount += take
+            self._unmerged_weight += float(weights[pos:pos + take].sum())
+            pos += take
+
+    def merge(self, other: "TDigest") -> None:
+        """Absorb ``other`` (compressing it first, MergingDigest.java:313)."""
+        other.compress()
+        if other._ncentroids == 0:
+            return
+        self.add_centroids(other._mean[:other._ncentroids],
+                           other._weight[:other._ncentroids],
+                           other._min, other._max)
+
+    # ------------------------------------------------------------------
+    # the merge pass (MergingDigest.java:352-496)
+    # ------------------------------------------------------------------
+
+    def _merge_new_values(self, force: bool, compression: float) -> None:
+        if self._total_weight == 0 and self._unmerged_weight == 0:
+            return
+        if force or self._unmerged_weight > 0:
+            run_backwards = (self.use_alternating_sort
+                             and self._merge_count % 2 == 1)
+            self._merge_pass(run_backwards, compression)
+            self._merge_count += 1
+            self._tcount = 0
+            self._unmerged_weight = 0.0
+
+    def _merge_pass(self, run_backwards: bool, compression: float) -> None:
+        nc = self._ncentroids
+        m = np.concatenate([self._tmean[:self._tcount], self._mean[:nc]])
+        w = np.concatenate([self._tweight[:self._tcount], self._weight[:nc]])
+        n = m.size
+        if n == 0:
+            return
+        # stable sort — load-bearing for repeated values (README.md:35-42;
+        # Sort.java:37-43).  Temp samples come first, matching the
+        # reference's buffer layout (temp then spliced live centroids).
+        order = np.argsort(m, kind="stable")
+        m = m[order]
+        w = w[order]
+        if run_backwards:
+            # MergingDigest.java:400-403: sweep right-to-left.  All
+            # normalized scale functions have symmetric max(q) = max(1-q),
+            # so the same forward sweep over reversed arrays is exact.
+            m = m[::-1]
+            w = w[::-1]
+
+        self._total_weight += self._unmerged_weight
+        total = self._total_weight
+        normalizer = self.scale.normalizer(compression, total)
+
+        starts = self._cluster_starts(w, total, normalizer)
+
+        # segment-wise weighted means (reference updates incrementally,
+        # MergingDigest.java:441-442; sum(m*w)/sum(w) is the same value
+        # up to fp rounding and exact for singletons)
+        seg_w = np.add.reduceat(w, starts)
+        seg_mw = np.add.reduceat(m * w, starts)
+        out_mean = seg_mw / seg_w
+        # keep singleton means exact (no fp round-trip through m*w/w)
+        single = np.diff(np.append(starts, n)) == 1
+        out_mean[single] = m[starts[single]]
+
+        if run_backwards:
+            out_mean = out_mean[::-1]
+            seg_w = seg_w[::-1]
+
+        self._mean = np.ascontiguousarray(out_mean)
+        self._weight = np.ascontiguousarray(seg_w)
+        self._ncentroids = out_mean.size
+
+        if total > 0:
+            self._min = min(self._min, float(self._mean[0]))
+            self._max = max(self._max, float(self._mean[-1]))
+
+    def _cluster_starts(self, w: np.ndarray, total: float,
+                        normalizer: float) -> np.ndarray:
+        """Greedy cluster boundaries over sorted weights.
+
+        Faithful to the reference sweep (MergingDigest.java:421-472)
+        including forced singletons at both ends, but organized so
+        Python-level iteration is per *output* centroid.
+        """
+        n = w.size
+        if n == 1:
+            return np.array([0], dtype=np.intp)
+        csum = np.cumsum(w)
+        scale = self.scale
+        starts = [0]
+        # position 1 never merges into cluster 0 (MergingDigest.java:433-436)
+        s = 1
+        while s < n - 1:
+            starts.append(s)
+            w_start = csum[s - 1]
+            q0 = w_start / total
+            if self.use_weight_limit:
+                # proposed <= total * min(max(q0), max(q2)), q2 = csum[j]/total
+                cap0 = total * scale.max_size(q0, normalizer)
+                # horizon from the q0 bound alone (an upper bound since the
+                # actual limit is a min with the q2 term)
+                hi = np.searchsorted(csum, w_start + cap0, side="right") - 1
+                hi = min(max(hi, s), n - 2)
+                if hi == s:
+                    s += 1
+                    continue
+                seg = csum[s + 1:hi + 1]
+                cw = seg - w_start            # cluster weight through j
+                lim = np.minimum(cap0,
+                                 total * scale.max_size(seg / total,
+                                                        normalizer))
+                ok = cw <= lim
+                if ok.all():
+                    s = hi + 1
+                else:
+                    s = s + 1 + int(np.argmin(ok))
+            else:
+                # k-limit: projected csum <= total * q(k(q0) + 1)
+                k1 = scale.k(q0, normalizer)
+                w_limit = total * scale.q(k1 + 1, normalizer)
+                j = np.searchsorted(csum, w_limit, side="right") - 1
+                j = min(max(j, s), n - 2)
+                s = j + 1
+        if n >= 2:
+            # last element always starts its own cluster
+            starts.append(n - 1)
+        return np.asarray(starts, dtype=np.intp)
+
+    # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
+
+    def compress(self) -> None:
+        """Force pending samples in and re-merge at the *public*
+        compression (MergingDigest.java:549-552)."""
+        self._merge_new_values(True, self.public_compression)
+
+    def _flush(self) -> None:
+        self._merge_new_values(False, self.compression)
+
+    @property
+    def size(self) -> float:
+        """Total sample weight (MergingDigest.java:554-557)."""
+        return self._total_weight + self._unmerged_weight
+
+    def centroid_count(self) -> int:
+        self._flush()
+        return self._ncentroids
+
+    def centroids(self):
+        """(means, weights) ascending by mean, compressed to the public
+        compression first (MergingDigest.java:792-825 calls compress())."""
+        self.compress()
+        return (self._mean[:self._ncentroids].copy(),
+                self._weight[:self._ncentroids].copy())
+
+    @property
+    def min(self) -> float:
+        return self._min if self.size > 0 else math.nan
+
+    @property
+    def max(self) -> float:
+        return self._max if self.size > 0 else math.nan
+
+    def cdf(self, x: float) -> float:
+        """Fraction of samples <= x, midpoint rule for ties
+        (MergingDigest.java:559-695)."""
+        x = float(x)
+        if math.isnan(x) or math.isinf(x):
+            raise ValueError(f"Invalid value: {x}")
+        self._flush()
+        n = self._ncentroids
+        if n == 0:
+            return math.nan
+        mean = self._mean
+        weight = self._weight
+        total = self._total_weight
+        lo, hi = self._min, self._max
+        if n == 1:
+            width = hi - lo
+            if x < lo:
+                return 0.0
+            if x > hi:
+                return 1.0
+            if x - lo <= width:
+                return 0.5
+            return (x - lo) / width
+        if x < lo:
+            return 0.0
+        if x > hi:
+            return 1.0
+        # left tail (MergingDigest.java:594-609)
+        if x < mean[0]:
+            if mean[0] - lo > 0:
+                if x == lo:
+                    return 0.5 / total
+                return (1 + (x - lo) / (mean[0] - lo)
+                        * (weight[0] / 2 - 1)) / total
+            return 0.0
+        # right tail (:612-624)
+        if x > mean[n - 1]:
+            if hi - mean[n - 1] > 0:
+                if x == hi:
+                    return 1 - 0.5 / total
+                dq = (1 + (hi - x) / (hi - mean[n - 1])
+                      * (weight[n - 1] / 2 - 1)) / total
+                return 1 - dq
+            return 1.0
+        # interior (:630-686)
+        weight_so_far = 0.0
+        it = 0
+        while it < n - 1:
+            if mean[it] == x:
+                # run of centroids exactly at x gets half credit (:632-640)
+                dw = 0.0
+                while it < n and mean[it] == x:
+                    dw += weight[it]
+                    it += 1
+                return (weight_so_far + dw / 2) / total
+            if mean[it] <= x < mean[it + 1]:
+                if mean[it + 1] - mean[it] > 0:
+                    left_excl = 0.0
+                    right_excl = 0.0
+                    if weight[it] == 1:
+                        if weight[it + 1] == 1:
+                            # two singletons — no interpolation (:652-656)
+                            return (weight_so_far + 1) / total
+                        left_excl = 0.5
+                    elif weight[it + 1] == 1:
+                        right_excl = 0.5
+                    dw = (weight[it] + weight[it + 1]) / 2
+                    left = mean[it]
+                    right = mean[it + 1]
+                    dw_no_single = dw - left_excl - right_excl
+                    base = weight_so_far + weight[it] / 2 + left_excl
+                    return (base + dw_no_single * (x - left)
+                            / (right - left)) / total
+                # fp-madness guard (:678-684)
+                dw = (weight[it] + weight[it + 1]) / 2
+                return (weight_so_far + dw) / total
+            weight_so_far += weight[it]
+            it += 1
+        if x == mean[n - 1]:
+            return 1 - 0.5 / total
+        raise AssertionError("cdf loop fell through")
+
+    def quantile(self, q: float) -> float:
+        """Inverse CDF with singleton- and tail-aware interpolation
+        (MergingDigest.java:697-783)."""
+        q = float(q)
+        if q < 0 or q > 1:
+            raise ValueError(f"q should be in [0,1], got {q}")
+        self._flush()
+        n = self._ncentroids
+        if n == 0:
+            return math.nan
+        if n == 1:
+            return float(self._mean[0])
+        mean = self._mean
+        weight = self._weight
+        total = self._total_weight
+        index = q * total
+        if index < 1:
+            return self._min
+        if weight[0] > 1 and index < weight[0] / 2:
+            # one sample is exactly at min (:726-729)
+            return self._min + (index - 1) / (weight[0] / 2 - 1) \
+                * (mean[0] - self._min)
+        if index > total - 1:
+            return self._max
+        if weight[n - 1] > 1 and total - index <= weight[n - 1] / 2:
+            return self._max - (total - index - 1) / (weight[n - 1] / 2 - 1) \
+                * (self._max - mean[n - 1])
+        weight_so_far = weight[0] / 2
+        for i in range(n - 1):
+            dw = (weight[i] + weight[i + 1]) / 2
+            if weight_so_far + dw > index:
+                left_unit = 0.0
+                if weight[i] == 1:
+                    if index - weight_so_far < 0.5:
+                        return float(mean[i])
+                    left_unit = 0.5
+                right_unit = 0.0
+                if weight[i + 1] == 1:
+                    if weight_so_far + dw - index <= 0.5:
+                        return float(mean[i + 1])
+                    right_unit = 0.5
+                z1 = index - weight_so_far - left_unit
+                z2 = weight_so_far + dw - index - right_unit
+                return _weighted_average(float(mean[i]), z2,
+                                         float(mean[i + 1]), z1)
+            weight_so_far += dw
+        z1 = index - total - weight[n - 1] / 2.0
+        z2 = weight[n - 1] / 2 - z1
+        return _weighted_average(float(mean[n - 1]), z1, self._max, z2)
+
+    def quantiles(self, qs) -> np.ndarray:
+        return np.asarray([self.quantile(q) for q in np.atleast_1d(qs)],
+                          dtype=np.float64)
+
+    def cdfs(self, xs) -> np.ndarray:
+        return np.asarray([self.cdf(x) for x in np.atleast_1d(xs)],
+                          dtype=np.float64)
+
+    def trimmed_mean(self, q0: float, q1: float) -> float:
+        """Mean of the samples between rank-quantiles q0 and q1
+        (README capability; computed from centroids A5+A7 per SURVEY §2.A8).
+
+        Each centroid's weight is clipped to the [q0*N, q1*N] rank window
+        using cumulative midpoint rank positions.
+        """
+        if not (0 <= q0 < q1 <= 1):
+            raise ValueError("need 0 <= q0 < q1 <= 1")
+        self._flush()
+        n = self._ncentroids
+        if n == 0:
+            return math.nan
+        w = self._weight[:n]
+        m = self._mean[:n]
+        total = self._total_weight
+        lo = q0 * total
+        hi = q1 * total
+        right = np.cumsum(w)
+        left = right - w
+        take = np.clip(np.minimum(right, hi) - np.maximum(left, lo), 0, None)
+        tw = take.sum()
+        if tw <= 0:
+            return math.nan
+        return float((m * take).sum() / tw)
+
+    # ------------------------------------------------------------------
+    # invariants / diagnostics
+    # ------------------------------------------------------------------
+
+    def check_weights(self) -> None:
+        """Assert no centroid exceeds its scale-function size limit
+        (MergingDigest.java:501-541): k-span <= 1 (soft), hard-fail > 4."""
+        self._flush()
+        n = self._ncentroids
+        if n == 0:
+            return
+        w = self._weight[:n]
+        total = self._total_weight
+        normalizer = self.scale.normalizer(self.public_compression, total)
+        csum = np.cumsum(w)
+        q_left = (csum - w) / total
+        q_right = csum / total
+        dk = self.scale.k(q_right, normalizer) - self.scale.k(q_left, normalizer)
+        bad = (dk > 4.0) & (w > 1)
+        if bad.any():
+            i = int(np.argmax(bad))
+            raise AssertionError(
+                f"Oversize centroid at {i}: k-span {dk[i]:.3f} weight {w[i]}")
+
+    def k_spans(self) -> np.ndarray:
+        self._flush()
+        n = self._ncentroids
+        w = self._weight[:n]
+        total = self._total_weight
+        normalizer = self.scale.normalizer(self.public_compression, total)
+        csum = np.cumsum(w)
+        return (self.scale.k(csum / total, normalizer)
+                - self.scale.k((csum - w) / total, normalizer))
+
+    # ------------------------------------------------------------------
+    # serialization (MergingDigest.java:868-936; big-endian)
+    # ------------------------------------------------------------------
+
+    def byte_size(self) -> int:
+        self.compress()
+        return self._ncentroids * 16 + 32
+
+    def small_byte_size(self) -> int:
+        self.compress()
+        return self._ncentroids * 8 + 30
+
+    def to_bytes(self) -> bytes:
+        """VERBOSE encoding (MergingDigest.java:868-880)."""
+        self.compress()
+        n = self._ncentroids
+        head = struct.pack(">iddd i", _VERBOSE_ENCODING,
+                           self._min if n else math.inf,
+                           self._max if n else -math.inf,
+                           self.public_compression, n)
+        pairs = np.empty((n, 2), dtype=">f8")
+        pairs[:, 0] = self._weight[:n]
+        pairs[:, 1] = self._mean[:n]
+        return head + pairs.tobytes()
+
+    def to_small_bytes(self) -> bytes:
+        """SMALL encoding, float32 centroids (MergingDigest.java:882-896).
+
+        Note: float32 weights cap per-centroid counts at 2^24 — use the
+        VERBOSE form for large-scale shuffle payloads.
+        """
+        self.compress()
+        n = self._ncentroids
+        head = struct.pack(">iddf hhh", _SMALL_ENCODING,
+                           self._min if n else math.inf,
+                           self._max if n else -math.inf,
+                           self.public_compression,
+                           min(self._size, 0x7FFF),
+                           min(self._buffer_size, 0x7FFF), n)
+        pairs = np.empty((n, 2), dtype=">f4")
+        pairs[:, 0] = self._weight[:n]
+        pairs[:, 1] = self._mean[:n]
+        return head + pairs.tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes, scale=K_2, **kwargs) -> "TDigest":
+        """Decode either encoding (MergingDigest.java:898-936)."""
+        (encoding,) = struct.unpack_from(">i", buf, 0)
+        if encoding == _VERBOSE_ENCODING:
+            mn, mx, compression, n = struct.unpack_from(">dddi", buf, 4)
+            pairs = np.frombuffer(buf, dtype=">f8", count=2 * n,
+                                  offset=32).reshape(n, 2)
+        elif encoding == _SMALL_ENCODING:
+            mn, mx, compression, _sz, _bsz, n = struct.unpack_from(
+                ">ddfhhh", buf, 4)
+            pairs = np.frombuffer(buf, dtype=">f4", count=2 * n,
+                                  offset=30).reshape(n, 2)
+        else:
+            raise ValueError(f"Invalid serialized digest format {encoding}")
+        d = cls(compression, scale=scale, **kwargs)
+        d._ncentroids = n
+        d._weight = np.ascontiguousarray(pairs[:, 0], dtype=np.float64)
+        d._mean = np.ascontiguousarray(pairs[:, 1], dtype=np.float64)
+        d._total_weight = float(d._weight.sum())
+        if n > 0:
+            d._min = mn
+            d._max = mx
+        return d
+
+    def __repr__(self):  # pragma: no cover
+        return (f"TDigest(compression={self.public_compression}, "
+                f"scale={self.scale.name}, n={self.size}, "
+                f"centroids={self._ncentroids})")
+
+
+def _weighted_average(x1: float, w1: float, x2: float, w2: float) -> float:
+    """Clamped weighted average (AbstractTDigest.java:32-52)."""
+    if x1 <= x2:
+        x = (x1 * w1 + x2 * w2) / (w1 + w2)
+        return max(x1, min(x, x2))
+    return _weighted_average(x2, w2, x1, w1)
+
+
+def merge_digests(digests, compression: float | None = None,
+                  scale=None, buffer_size: int = -1) -> TDigest:
+    """Merge a sequence of digests into a new one
+    (MergingDigest.add(List) — MergingDigest.java:307-350): concatenate
+    all centroid arrays, then a single merge pass.
+
+    This is the reduce step for distributed aggregation; accuracy bound
+    for arbitrary splits per AccuracyTest.java:131-151.
+    """
+    digests = [d for d in digests if d is not None and d.size > 0]
+    if not digests:
+        return TDigest(compression or 100.0)
+    if compression is None:
+        compression = digests[0].public_compression
+    if scale is None:
+        scale = digests[0].scale
+    out = TDigest(compression, buffer_size=buffer_size, scale=scale)
+    means, weights = [], []
+    mn, mx = math.inf, -math.inf
+    for d in digests:
+        d.compress()
+        if d._ncentroids:
+            means.append(d._mean[:d._ncentroids])
+            weights.append(d._weight[:d._ncentroids])
+            mn = min(mn, d._min)
+            mx = max(mx, d._max)
+    if means:
+        out.add_centroids(np.concatenate(means), np.concatenate(weights),
+                          mn, mx)
+    return out

@@ -1,0 +1,145 @@
+"""Category-3 invariant tests: centroid k-span bounds, weight ordering,
+monotonicity, scale-function math (SURVEY.md §5.3)."""
+
+import numpy as np
+import pytest
+
+from t_digest_spark.core import TDigest
+from t_digest_spark.scale import (
+    K_0, K_1, K_1_FAST, K_2, K_3, K_2_NO_NORM, K_3_NO_NORM, get_scale,
+)
+
+NORMALIZED = [K_0, K_1, K_1_FAST, K_2, K_3]
+
+
+@pytest.mark.parametrize("scale", NORMALIZED, ids=lambda s: s.name)
+def test_scale_q_k_roundtrip(scale):
+    # ScaleFunctionTests.java:110-264 — q(k(q)) inverse within 1e-10
+    compression, n = 100.0, 1e6
+    norm = scale.normalizer(compression, n)
+    qs = np.concatenate([
+        np.linspace(1e-6, 1 - 1e-6, 1001),
+        np.array([1e-10, 1e-8, 1 - 1e-8, 1 - 1e-10]),
+    ])
+    back = scale.q(scale.k(qs, norm), norm)
+    assert np.max(np.abs(back - qs)) < 1e-9
+
+
+@pytest.mark.parametrize("scale", NORMALIZED, ids=lambda s: s.name)
+def test_scale_monotone(scale):
+    norm = scale.normalizer(100.0, 1e6)
+    qs = np.linspace(1e-9, 1 - 1e-9, 10001)
+    ks = np.asarray(scale.k(qs, norm))
+    assert (np.diff(ks) >= 0).all()
+    k_grid = np.linspace(ks[0], ks[-1], 1001)
+    q_back = np.asarray(scale.q(k_grid, norm))
+    assert (np.diff(q_back) >= -1e-15).all()
+
+
+@pytest.mark.parametrize("scale", [K_1, K_2, K_3], ids=lambda s: s.name)
+def test_scale_max_symmetric(scale):
+    # max(q) == max(1-q) — required for the alternating (reversed) merge
+    norm = scale.normalizer(100.0, 1e6)
+    qs = np.linspace(0.0, 1.0, 1001)
+    a = np.asarray(scale.max_size(qs, norm))
+    b = np.asarray(scale.max_size(1 - qs, norm))
+    assert np.allclose(a, b, rtol=1e-12, atol=1e-18)
+
+
+def test_no_norm_rejected():
+    # MergingDigest.java:853-856
+    for s in (K_2_NO_NORM, K_3_NO_NORM):
+        with pytest.raises(ValueError):
+            TDigest(100, scale=s)
+
+
+def test_get_scale_names():
+    assert get_scale("k_2") is K_2
+    assert get_scale(K_3) is K_3
+    with pytest.raises(ValueError):
+        get_scale("nope")
+
+
+def test_fill_k_span():
+    # MergingDigestTest.java:173-200 / MergingDigest.checkWeights:
+    # every multi-sample centroid spans <= ~1 k-unit after compress
+    rng = np.random.default_rng(10)
+    for scale in (K_2, K_3):
+        d = TDigest(200, scale=scale)
+        d.add_batch(rng.uniform(size=100_000))
+        d.compress()
+        d.check_weights()
+        spans = d.k_spans()
+        w = d._weight[:d._ncentroids]
+        assert (spans[w > 1] <= 1 + 1e-4).all()
+
+
+def test_centroid_count_bounds():
+    # docs/vldb/short.tex:158; TDigestTest.java:460 — count in [delta/3, delta]
+    rng = np.random.default_rng(11)
+    for compression in (50, 100, 200):
+        d = TDigest(compression)
+        d.add_batch(rng.uniform(size=100_000))
+        c = len(d.centroids()[0])
+        assert c <= compression
+        assert c >= compression / 3
+
+
+def test_sorted_centroids():
+    # TDigestTest.java:532-549
+    rng = np.random.default_rng(12)
+    d = TDigest(100)
+    x = rng.uniform(size=10_000)
+    w = rng.integers(1, 11, size=10_000).astype(np.float64)
+    d.add_batch(x, w)
+    means, weights = d.centroids()
+    assert (np.diff(means) >= 0).all()
+    assert weights.sum() == w.sum()
+
+
+def test_monotonicity():
+    # TDigestTest.java:961-979
+    rng = np.random.default_rng(13)
+    d = TDigest(100)
+    d.add_batch(rng.uniform(size=100_000))
+    zs = np.concatenate([
+        np.arange(0, 1.0000001, 1e-3),
+        np.arange(0, 2e-3, 1e-6),            # fine grid at left tail
+        np.arange(1 - 2e-3, 1.0000001, 1e-6),  # fine grid at right tail
+    ])
+    zs = np.clip(np.sort(zs), 0, 1)
+    last_x = -np.inf
+    for z in zs:
+        x = d.quantile(z)
+        assert x >= last_x, z
+        last_x = x
+    last_q = -np.inf
+    for z in np.arange(0, 1.0000001, 1e-3):
+        q = d.cdf(z)
+        assert q >= last_q, z
+        last_q = q
+
+
+def test_endpoint_singletons():
+    # MergingDigest.java:489-490 invariant: extreme centroids are singletons
+    rng = np.random.default_rng(14)
+    d = TDigest(100)
+    d.add_batch(rng.normal(size=50_000))
+    means, weights = d.centroids()
+    assert weights[0] == 1
+    assert weights[-1] == 1
+    assert d.min == means[0]
+    assert d.max == means[-1]
+
+
+def test_alternating_sort_flag():
+    rng = np.random.default_rng(15)
+    data = rng.uniform(size=50_000)
+    for flag in (True, False):
+        d = TDigest(100, use_alternating_sort=flag)
+        d.add_batch(data)
+        sorted_data = np.sort(data)
+        for q in (0.01, 0.5, 0.99):
+            est = d.quantile(q)
+            rank = np.searchsorted(sorted_data, est) / data.size
+            assert abs(rank - q) < 0.012
