@@ -1,0 +1,263 @@
+"""Distributed t-digest aggregation over Spark DataFrames.
+
+Execution model (SURVEY.md §3.2, designed for 100 TB inputs):
+
+  stage 1  ``partial_digests``  — mapInPandas over the *unshuffled* scan:
+           each input partition builds one digest per group key from
+           Arrow batches (NumPy-vectorized, zero per-row Python).  Output
+           is (group keys..., digest binary) — ~1 KB per (partition, key).
+           This is map-side partial aggregation: the 100 TB of raw rows
+           never shuffle; only sketches do.
+
+  stage 2  ``merge_digests_df``  — groupBy(keys) over the tiny digest
+           table + applyInPandas merge (MergingDigest.add(List) semantics,
+           one concatenated merge pass per group).
+
+  optional ``tree_merge`` — for extreme partition counts (10^5+ partials
+           per key) an intermediate salt level bounds any single reduce
+           task's fan-in, i.e. treeAggregate over digests.  Mergeability
+           makes every layering *equally accurate* (AccuracyTest bounds
+           hold for arbitrary splits), so salting/skew handling costs
+           nothing in correctness.
+
+Skewed group keys (e.g. hot conv_id / role values) are a non-issue in
+stage 1 — each partition emits at most one digest per key regardless of
+row skew — and bounded in stage 2 by ``tree_merge``.
+
+Digests travel as the reference-compatible VERBOSE byte encoding
+(float64 centroids — SMALL's float32 weights would overflow past 2^24
+per centroid, see core.to_small_bytes).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, DoubleType, LongType, StructField, StructType,
+)
+
+from ..core import TDigest, merge_digests
+
+__all__ = [
+    "partial_digests",
+    "merge_digests_df",
+    "tree_merge",
+    "tdigest_aggregate",
+    "tdigest_collect",
+    "DIGEST_FIELD",
+]
+
+DIGEST_FIELD = "digest"
+
+# Arrow batches are ~10k rows; we let each per-key digest buffer several
+# batches before a merge pass (amortized buffering per
+# MergingDigest.java:33-49 — bigger buffers are both faster and more
+# accurate via two-level compression).
+DEFAULT_BUFFER = 1 << 16
+
+
+def _digest_schema(df: DataFrame, group_cols: Sequence[str]) -> StructType:
+    fields = [df.schema[c] for c in group_cols]
+    return StructType(
+        list(fields)
+        + [
+            StructField(DIGEST_FIELD, BinaryType(), False),
+            StructField("rows", LongType(), False),
+        ]
+    )
+
+
+def partial_digests(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    compression: float = 100.0,
+    scale: str = "K_2",
+    buffer_size: int = DEFAULT_BUFFER,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Stage 1: per-(input partition, group) digests, no raw-row shuffle.
+
+    Returns a DataFrame ``group_cols... , digest binary, rows long`` with
+    at most (#partitions x #distinct keys) rows.
+    """
+    group_cols = list(group_cols)
+    cols = group_cols + [value_col] + ([weight_col] if weight_col else [])
+    narrow = df.select(*cols)  # column pruning reaches the scan
+    out_schema = _digest_schema(narrow, group_cols)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, TDigest] = {}
+        counts: dict[tuple, int] = {}
+        for pdf in batches:
+            values = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            weights = (
+                pdf[weight_col].to_numpy(dtype=np.float64, na_value=np.nan)
+                if weight_col else None
+            )
+            if group_cols:
+                grouped = pdf.groupby(group_cols, dropna=False, sort=False)
+                key_index = grouped.indices.items()
+            else:
+                key_index = [((), np.arange(len(pdf)))]
+            for key, idx in key_index:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                v = values[idx]
+                ok = ~np.isnan(v)  # aggregate ignores NULL/NaN inputs
+                if weights is not None:
+                    w = weights[idx]
+                    ok &= ~np.isnan(w) & (w > 0)
+                    w = w[ok]
+                else:
+                    w = None
+                v = v[ok]
+                if v.size == 0:
+                    continue
+                d = acc.get(key)
+                if d is None:
+                    d = TDigest(compression, buffer_size=buffer_size,
+                                scale=scale)
+                    acc[key] = d
+                    counts[key] = 0
+                d.add_batch(v, w)
+                counts[key] += v.size
+        if acc:
+            rows = []
+            for key, d in acc.items():
+                rows.append(tuple(key) + (d.to_bytes(), counts[key]))
+            yield pd.DataFrame(rows, columns=group_cols + [DIGEST_FIELD, "rows"])
+
+    return narrow.mapInPandas(build, schema=out_schema)
+
+
+def _merge_fn(compression: float, scale: str, group_cols: Sequence[str],
+              extra_agg: bool = True):
+    group_cols = list(group_cols)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        ds = [TDigest.from_bytes(b, scale=scale) for b in pdf[DIGEST_FIELD]]
+        merged = merge_digests(ds, compression=compression)
+        head = {c: [pdf[c].iloc[0]] for c in group_cols}
+        head[DIGEST_FIELD] = [merged.to_bytes()]
+        head["rows"] = [int(pdf["rows"].sum())]
+        return pd.DataFrame(head)
+
+    return merge
+
+
+def merge_digests_df(
+    partials: DataFrame,
+    group_cols: Sequence[str] = (),
+    compression: float = 100.0,
+    scale: str = "K_2",
+) -> DataFrame:
+    """Stage 2: shuffle the (tiny) digest rows by key and merge per group."""
+    group_cols = list(group_cols)
+    schema = StructType(
+        [partials.schema[c] for c in group_cols]
+        + [StructField(DIGEST_FIELD, BinaryType(), False),
+           StructField("rows", LongType(), False)]
+    )
+    fn = _merge_fn(compression, scale, group_cols)
+    if group_cols:
+        return partials.groupBy(*group_cols).applyInPandas(fn, schema=schema)
+    # global aggregate: single group — funnel the per-partition digest rows
+    # (already tiny) into one task and merge
+    return partials.coalesce(1).mapInPandas(
+        _global_merge_gen(compression, scale), schema=schema)
+
+
+def _global_merge_gen(compression: float, scale: str):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ds: list[TDigest] = []
+        rows = 0
+        for pdf in batches:
+            ds.extend(TDigest.from_bytes(b, scale=scale)
+                      for b in pdf[DIGEST_FIELD])
+            rows += int(pdf["rows"].sum())
+        merged = merge_digests(ds, compression=compression)
+        yield pd.DataFrame({DIGEST_FIELD: [merged.to_bytes()],
+                            "rows": [rows]})
+    return gen
+
+
+def tree_merge(
+    partials: DataFrame,
+    group_cols: Sequence[str] = (),
+    compression: float = 100.0,
+    scale: str = "K_2",
+    fanout: int = 64,
+) -> DataFrame:
+    """treeAggregate-style two-level reduce over digest rows.
+
+    Caps any single reduce task's fan-in at ~``fanout`` digests per key by
+    pre-merging within salted buckets.  Use when #input-partitions per key
+    is very large (10^4+).  Accuracy is unchanged — digest merging meets
+    the same bounds for any split (AccuracyTest.java:131-151); stratified
+    two-level merging is in fact *more* accurate (docs/vldb/short.tex:185-198).
+    """
+    group_cols = list(group_cols)
+    salted = partials.withColumn(
+        "__salt", F.pmod(F.crc32(F.col(DIGEST_FIELD)), F.lit(fanout))
+    )
+    schema = StructType(
+        [partials.schema[c] for c in group_cols]
+        + [StructField("__salt", salted.schema["__salt"].dataType, True),
+           StructField(DIGEST_FIELD, BinaryType(), False),
+           StructField("rows", LongType(), False)]
+    )
+    # intermediate level keeps 2x centroids (stratified merging: sub-digests
+    # at delta' > delta are *more* accurate, docs/vldb/short.tex:185-198);
+    # only the final level compresses to the public delta
+    fn1 = _merge_fn(2 * compression, scale, group_cols + ["__salt"])
+    level1 = salted.groupBy(*(group_cols + ["__salt"])).applyInPandas(
+        fn1, schema=schema)
+    return merge_digests_df(level1.drop("__salt"), group_cols,
+                            compression, scale)
+
+
+def tdigest_aggregate(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    compression: float = 100.0,
+    scale: str = "K_2",
+    buffer_size: int = DEFAULT_BUFFER,
+    weight_col: str | None = None,
+    tree: bool = False,
+    fanout: int = 64,
+) -> DataFrame:
+    """Full two-stage digest aggregation: one digest row per group.
+
+    Equivalent to ``groupBy(keys).agg(tdigest(value))`` but with explicit
+    map-side partials so only sketches shuffle.
+    """
+    partials = partial_digests(df, value_col, group_cols, compression,
+                               scale, buffer_size, weight_col)
+    if tree:
+        return tree_merge(partials, group_cols, compression, scale, fanout)
+    return merge_digests_df(partials, group_cols, compression, scale)
+
+
+def tdigest_collect(
+    df: DataFrame,
+    value_col: str,
+    compression: float = 100.0,
+    scale: str = "K_2",
+    buffer_size: int = DEFAULT_BUFFER,
+) -> TDigest:
+    """Global (ungrouped) digest, returned as a driver-side TDigest.
+
+    Partition digests (~1 KB each) are the only data collected.
+    """
+    partials = partial_digests(df, value_col, (), compression, scale,
+                               buffer_size)
+    blobs = [r[DIGEST_FIELD] for r in partials.select(DIGEST_FIELD).collect()]
+    return merge_digests([TDigest.from_bytes(b, scale=scale) for b in blobs],
+                         compression=compression)

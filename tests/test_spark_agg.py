@@ -1,0 +1,195 @@
+"""Spark-layer tests: two-stage digest aggregation, partition-count
+independence, tree merge, extraction UDFs, transcripts source
+(SURVEY.md §5 "Spark-level tests")."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from t_digest_spark.core import TDigest
+from t_digest_spark.operators.aggregate import (
+    merge_digests_df, partial_digests, tdigest_aggregate, tdigest_collect,
+    tree_merge,
+)
+from t_digest_spark.operators.extract import (
+    cdf_of, digest_stats, quantile_of, quantiles_of, trimmed_mean_of,
+)
+from t_digest_spark.sources.tables import (
+    load_table, synth_transcripts, turn_metrics,
+)
+
+from conftest import SF_DIR, dist_cdf
+
+QS = [0.01, 0.1, 0.5, 0.9, 0.99]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF_DIR, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def exact_by_type(events):
+    rows = events.select("event_type", "value").collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.event_type, []).append(r.value)
+    return {k: np.sort(np.asarray(v)) for k, v in out.items()}
+
+
+def test_grouped_aggregate_bounds(spark, events, exact_by_type):
+    agg = tdigest_aggregate(events, "value", ["event_type"])
+    got = {r.event_type: r for r in agg.collect()}
+    assert set(got) == set(exact_by_type)
+    for etype, data in exact_by_type.items():
+        d = TDigest.from_bytes(bytes(got[etype].digest))
+        assert d.size == data.size
+        assert got[etype].rows == data.size
+        assert d.min == data[0]
+        assert d.max == data[-1]
+        for q in QS:
+            q_back = dist_cdf(d.quantile(q), data)
+            assert abs(q_back - q) < 0.015, (etype, q)
+
+
+def test_partial_digests_row_bound(spark, events):
+    nparts = 8
+    df = events.repartition(nparts)
+    partials = partial_digests(df, "value", ["event_type"])
+    nkeys = events.select("event_type").distinct().count()
+    assert partials.count() <= nparts * nkeys
+
+
+def test_partition_count_independence(spark, events, exact_by_type):
+    # same table, 1/4/16 partitions → same-bounded quantiles (§5 port
+    # strategy); merge bounds hold for any split
+    for nparts in (1, 4, 16):
+        agg = tdigest_aggregate(events.repartition(nparts), "value",
+                                ["event_type"])
+        for r in agg.collect():
+            d = TDigest.from_bytes(bytes(r.digest))
+            data = exact_by_type[r.event_type]
+            assert d.size == data.size
+            for q in QS:
+                q_back = dist_cdf(d.quantile(q), data)
+                assert abs(q_back - q) < 0.015, (nparts, r.event_type, q)
+
+
+def test_tree_merge_equivalence(spark, events, exact_by_type):
+    partials = partial_digests(events.repartition(16), "value",
+                               ["event_type"])
+    treed = tree_merge(partials, ["event_type"], fanout=4)
+    for r in treed.collect():
+        d = TDigest.from_bytes(bytes(r.digest))
+        data = exact_by_type[r.event_type]
+        assert d.size == data.size
+        for q in QS:
+            q_back = dist_cdf(d.quantile(q), data)
+            assert abs(q_back - q) < 0.015
+
+
+def test_global_collect(spark, events):
+    values = np.sort(np.asarray(
+        [r.value for r in events.select("value").collect()]))
+    d = tdigest_collect(events, "value")
+    assert d.size == values.size
+    assert d.min == values[0]
+    assert d.max == values[-1]
+    for q in QS:
+        assert abs(dist_cdf(d.quantile(q), values) - q) < 0.015
+
+
+def test_extract_udfs(spark, events, exact_by_type):
+    agg = tdigest_aggregate(events, "value", ["event_type"])
+    res = (
+        agg.select(
+            "event_type",
+            quantile_of("digest", 0.5).alias("p50"),
+            quantiles_of("digest", [0.1, 0.9]).alias("qs"),
+            cdf_of("digest", 50.0).alias("cdf50"),
+            trimmed_mean_of("digest", 0.25, 0.75).alias("iqm"),
+            digest_stats("digest").alias("stats"),
+        )
+    ).collect()
+    for r in res:
+        data = exact_by_type[r.event_type]
+        assert abs(dist_cdf(r.p50, data) - 0.5) < 0.015
+        assert abs(dist_cdf(r.qs[0], data) - 0.1) < 0.015
+        assert abs(dist_cdf(r.qs[1], data) - 0.9) < 0.015
+        assert r.cdf50 == pytest.approx(dist_cdf(50.0, data), abs=0.015)
+        lo, hi = int(0.25 * len(data)), int(0.75 * len(data))
+        assert r.iqm == pytest.approx(data[lo:hi].mean(),
+                                      rel=0.05, abs=0.05)
+        assert r.stats.n == data.size
+        assert r.stats["min"] == data[0]
+        assert r.stats["max"] == data[-1]
+        assert 0 < r.stats.centroids <= 100
+
+
+def test_weighted_aggregate(spark):
+    sdf = spark.createDataFrame(
+        [(float(v), float(w)) for v, w in [(1, 5), (2, 3), (3, 2)]],
+        "v double, w double")
+    d = TDigest.from_bytes(bytes(
+        tdigest_aggregate(sdf, "v", weight_col="w").collect()[0].digest))
+    assert d.size == 10
+    assert d.min == 1.0 and d.max == 3.0
+    # index=1 sits at the recorded min; index>total-1 returns max
+    assert d.quantile(0.1) == 1.0
+    assert d.quantile(0.99) == 3.0
+    # interior quantiles interpolate between weighted centroids
+    assert 1.0 <= d.quantile(0.3) <= 2.0
+
+
+def test_null_values_ignored(spark):
+    sdf = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (None,), (3.0,)], "v double")
+    d = TDigest.from_bytes(bytes(
+        tdigest_aggregate(sdf, "v").collect()[0].digest))
+    assert d.size == 3
+    assert d.min == 1.0 and d.max == 3.0
+
+
+# ---------------------------------------------------------------------
+# transcripts source + derived metrics (input_hint shape)
+# ---------------------------------------------------------------------
+
+def test_transcripts_deterministic(spark):
+    t1 = synth_transcripts(spark, n_convs=200, seed=42, partitions=4)
+    t2 = synth_transcripts(spark, n_convs=200, seed=42, partitions=4)
+    h1 = t1.select(F.sha2(F.concat_ws("|", "conv_id", "turn_idx", "role",
+                                      F.sha2("text", 256)), 256).alias("h"))
+    h2 = t2.select(F.sha2(F.concat_ws("|", "conv_id", "turn_idx", "role",
+                                      F.sha2("text", 256)), 256).alias("h"))
+    agg1 = h1.agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")))
+    agg2 = h2.agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")))
+    assert agg1.collect()[0][0] == agg2.collect()[0][0]
+    assert t1.count() == t2.count() > 200
+
+
+def test_transcripts_text_equality_invariant(spark):
+    # per-turn text equality under stable (conv_id, turn_idx) ordering:
+    # turn_metrics derives columns but must not touch the payload
+    t = synth_transcripts(spark, n_convs=100, seed=7, partitions=2).cache()
+    before = t.select("conv_id", "turn_idx",
+                      F.sha2("text", 256).alias("h")) \
+        .orderBy("conv_id", "turn_idx").collect()
+    after = turn_metrics(t).select("conv_id", "turn_idx",
+                                   F.sha2("text", 256).alias("h")) \
+        .orderBy("conv_id", "turn_idx").collect()
+    assert before == after
+    t.unpersist()
+
+
+def test_transcripts_metrics_digest(spark):
+    t = turn_metrics(synth_transcripts(spark, n_convs=500, seed=42,
+                                       partitions=4))
+    agg = tdigest_aggregate(t.where(F.col("latency_s").isNotNull()),
+                            "latency_s", ["role"])
+    rows = agg.collect()
+    assert {r.role for r in rows} <= {"user", "assistant", "system", "tool"}
+    for r in rows:
+        d = TDigest.from_bytes(bytes(r.digest))
+        assert d.size > 0
+        assert d.quantile(0.5) >= 0
