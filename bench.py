@@ -1,0 +1,139 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries:
+  q1_events_digest      — grouped t-digest (event_type) + quantile extract
+  q2_lineitem_global    — global tree-merged digest over 600k prices
+  q3_transcripts        — synthetic transcripts (~1M turns): window-lag
+                          latency metric → digest by (role, hour) →
+                          p50/p99/p999  (the north_star job shape)
+  q4_lineitem_grouped   — digest by (returnflag, linestatus) + trimmed mean
+
+Throughput context (reference single-thread: ~140 ns/point add ⇒
+~7.1M points/sec, README.md:23) is reported as rows_per_sec extras.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from t_digest_spark.operators.aggregate import tdigest_aggregate  # noqa: E402
+from t_digest_spark.operators.extract import (  # noqa: E402
+    quantiles_of, trimmed_mean_of,
+)
+from t_digest_spark.sources.tables import (  # noqa: E402
+    load_table, synth_transcripts, turn_metrics,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("BENCH_CONVS", "300000"))  # ~1M turns
+
+
+def q1_events_digest(spark):
+    events = load_table(spark, SF_DIR, "events")
+    agg = tdigest_aggregate(events, "value", ["event_type"])
+    return agg.select(
+        "event_type",
+        quantiles_of("digest", [0.5, 0.99, 0.999]).alias("qs"),
+    ).collect(), events.count()
+
+
+def q2_lineitem_global(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    agg = tdigest_aggregate(li, "l_extendedprice", tree=True)
+    return agg.select(
+        quantiles_of("digest", [0.01, 0.5, 0.99]).alias("qs")
+    ).collect(), li.count()
+
+
+def _transcripts_path(spark):
+    """Materialize the synthetic transcripts once (generation is test
+    fixture cost, not engine throughput); cached across bench runs."""
+    path = f"/tmp/tdigest_bench/transcripts_{N_CONVS}_s42.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t = synth_transcripts(spark, n_convs=N_CONVS, seed=42,
+                              partitions=CPUS * 2, with_text=False)
+        t.write.mode("overwrite").parquet(path)
+    return path
+
+
+def q3_transcripts(spark):
+    t = spark.read.parquet(_transcripts_path(spark))
+    m = turn_metrics(t).where(F.col("latency_s").isNotNull())
+    agg = tdigest_aggregate(m, "latency_s", ["role", "ts_hour"])
+    rows = agg.select(
+        "role", "ts_hour", "rows",
+        quantiles_of("digest", [0.5, 0.99, 0.999]).alias("qs"),
+    ).collect()
+    total_turns = sum(r["rows"] for r in rows)
+    return rows, total_turns
+
+
+def q4_lineitem_grouped(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    agg = tdigest_aggregate(li, "l_extendedprice",
+                            ["l_returnflag", "l_linestatus"])
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        quantiles_of("digest", [0.5, 0.95]).alias("qs"),
+        trimmed_mean_of("digest", 0.05, 0.95).alias("tmean"),
+    ).collect(), li.count()
+
+
+def main():
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("t-digest-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: spin up python workers / JIT so q1 isn't charged for it
+    warm = spark.createDataFrame([(float(i),) for i in range(1000)],
+                                 "v double")
+    tdigest_aggregate(warm.repartition(CPUS), "v").collect()
+
+    queries = {
+        "q1_events_digest": q1_events_digest,
+        "q2_lineitem_global": q2_lineitem_global,
+        "q3_transcripts": q3_transcripts,
+        "q4_lineitem_grouped": q4_lineitem_grouped,
+    }
+    timings = {}
+    rates = {}
+    total = 0.0
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        _rows, n_in = fn(spark)
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        rates[name] = round(n_in / dt, 1)
+        total += dt
+    spark.stop()
+
+    print(json.dumps({
+        "metric": "tdigest headline queries wall-clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "rows_per_sec": rates,
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -130,9 +130,12 @@ class TDigest:
         self._ncentroids = 0
         self._total_weight = 0.0
 
-        # temp buffer for incoming samples
-        self._tmean = np.empty(buffer_size, dtype=np.float64)
-        self._tweight = np.empty(buffer_size, dtype=np.float64)
+        # temp buffer for incoming samples — grows on demand up to
+        # buffer_size so that high-cardinality groupings (many digests
+        # alive per executor) don't pay the full allocation up front
+        init = min(buffer_size, 4096)
+        self._tmean = np.empty(init, dtype=np.float64)
+        self._tweight = np.empty(init, dtype=np.float64)
         self._tcount = 0
         self._unmerged_weight = 0.0
 
@@ -176,22 +179,7 @@ class TDigest:
         self._min = min(self._min, float(values.min()))
         self._max = max(self._max, float(values.max()))
 
-        pos = 0
-        n = values.size
-        while pos < n:
-            # leave headroom for live centroids like the reference's
-            # overflow check (MergingDigest.java:258-260)
-            room = self._buffer_size - self._tcount - self._ncentroids - 1
-            if room <= 0:
-                self._merge_new_values(False, self.compression)
-                continue
-            take = min(room, n - pos)
-            t = self._tcount
-            self._tmean[t:t + take] = values[pos:pos + take]
-            self._tweight[t:t + take] = weights[pos:pos + take]
-            self._tcount += take
-            self._unmerged_weight += float(weights[pos:pos + take].sum())
-            pos += take
+        self._append(values, weights)
 
     def add_centroids(self, means, weights, d_min: float, d_max: float) -> None:
         """Merge another digest's centroid arrays into this one
@@ -206,18 +194,30 @@ class TDigest:
             return
         self._min = min(self._min, float(d_min))
         self._max = max(self._max, float(d_max))
+        self._append(means, weights)
+
+    def _append(self, values: np.ndarray, weights: np.ndarray) -> None:
+        """Append to the temp buffer, merging on overflow
+        (MergingDigest.java:258-264 with growable storage)."""
         pos = 0
-        n = means.size
+        n = values.size
         while pos < n:
+            # leave headroom for live centroids like the reference's
+            # overflow check (MergingDigest.java:258-260)
             room = self._buffer_size - self._tcount - self._ncentroids - 1
             if room <= 0:
                 self._merge_new_values(False, self.compression)
                 continue
             take = min(room, n - pos)
             t = self._tcount
-            self._tmean[t:t + take] = means[pos:pos + take]
-            self._tweight[t:t + take] = weights[pos:pos + take]
-            self._tcount += take
+            need = t + take
+            if need > self._tmean.size:
+                grow = min(self._buffer_size, max(need, 4 * self._tmean.size))
+                self._tmean = np.resize(self._tmean, grow)
+                self._tweight = np.resize(self._tweight, grow)
+            self._tmean[t:need] = values[pos:pos + take]
+            self._tweight[t:need] = weights[pos:pos + take]
+            self._tcount = need
             self._unmerged_weight += float(weights[pos:pos + take].sum())
             pos += take
 
@@ -306,38 +306,44 @@ class TDigest:
             return np.array([0], dtype=np.intp)
         csum = np.cumsum(w)
         scale = self.scale
+        max_py = scale.max_py
+        searchsorted = csum.searchsorted
         starts = [0]
         # position 1 never merges into cluster 0 (MergingDigest.java:433-436)
         s = 1
-        while s < n - 1:
-            starts.append(s)
-            w_start = csum[s - 1]
-            q0 = w_start / total
-            if self.use_weight_limit:
-                # proposed <= total * min(max(q0), max(q2)), q2 = csum[j]/total
-                cap0 = total * scale.max_size(q0, normalizer)
+        if self.use_weight_limit:
+            # the q2-side cap total*max(csum[j]/total) is independent of the
+            # cluster start — precompute it vectorized once per merge so the
+            # per-cluster loop below does only O(1) scalar + slice work
+            cap2 = total * scale.max_size(csum / total, normalizer)
+            while s < n - 1:
+                starts.append(s)
+                w_start = csum[s - 1]
+                # proposed <= total * min(max(q0), max(q2))
+                cap0 = total * max_py(w_start / total, normalizer)
                 # horizon from the q0 bound alone (an upper bound since the
                 # actual limit is a min with the q2 term)
-                hi = np.searchsorted(csum, w_start + cap0, side="right") - 1
-                hi = min(max(hi, s), n - 2)
-                if hi == s:
+                hi = searchsorted(w_start + cap0, side="right") - 1
+                if hi > n - 2:
+                    hi = n - 2
+                if hi <= s:
                     s += 1
                     continue
-                seg = csum[s + 1:hi + 1]
-                cw = seg - w_start            # cluster weight through j
-                lim = np.minimum(cap0,
-                                 total * scale.max_size(seg / total,
-                                                        normalizer))
-                ok = cw <= lim
-                if ok.all():
+                ok = (csum[s + 1:hi + 1] - w_start
+                      <= np.minimum(cap0, cap2[s + 1:hi + 1]))
+                bad = int(np.argmin(ok))
+                if ok[bad]:          # all True → cluster runs through hi
                     s = hi + 1
                 else:
-                    s = s + 1 + int(np.argmin(ok))
-            else:
+                    s = s + 1 + bad
+        else:
+            k_py, q_py = scale.k_py, scale.q_py
+            while s < n - 1:
+                starts.append(s)
                 # k-limit: projected csum <= total * q(k(q0) + 1)
-                k1 = scale.k(q0, normalizer)
-                w_limit = total * scale.q(k1 + 1, normalizer)
-                j = np.searchsorted(csum, w_limit, side="right") - 1
+                k1 = k_py(csum[s - 1] / total, normalizer)
+                w_limit = total * q_py(k1 + 1, normalizer)
+                j = searchsorted(w_limit, side="right") - 1
                 j = min(max(j, s), n - 2)
                 s = j + 1
         if n >= 2:

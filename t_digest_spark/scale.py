@@ -24,6 +24,8 @@ All functions are NumPy-vectorized: they accept scalars or ndarrays.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 __all__ = [
@@ -64,6 +66,17 @@ class _ScaleFunction:
     def normalizer(self, compression, n):
         raise NotImplementedError
 
+    # -- pure-Python scalar forms (merge-loop hot path: one call per
+    #    output centroid; avoids NumPy scalar-dispatch overhead) -------
+    def max_py(self, q: float, normalizer: float) -> float:
+        return float(self.max_size(q, normalizer))
+
+    def k_py(self, q: float, normalizer: float) -> float:
+        return float(self.k(q, normalizer))
+
+    def q_py(self, k: float, normalizer: float) -> float:
+        return float(self.q(k, normalizer))
+
     # -- (compression, n) form (parity tests) --------------------------
     def k_cn(self, q, compression, n):
         return self.k(q, self.normalizer(compression, n))
@@ -94,6 +107,15 @@ class _K0(_ScaleFunction):
     def normalizer(self, compression, n):
         return compression / 2.0
 
+    def max_py(self, q, normalizer):
+        return 1.0 / normalizer
+
+    def k_py(self, q, normalizer):
+        return normalizer * q
+
+    def q_py(self, k, normalizer):
+        return k / normalizer
+
 
 class _K1(_ScaleFunction):
     name = "K_1"
@@ -122,6 +144,19 @@ class _K1(_ScaleFunction):
     def normalizer(self, compression, n):
         return compression / (2 * np.pi)
 
+    def max_py(self, q, normalizer):
+        if q <= 0 or q >= 1:
+            return 0.0
+        return 2 * math.sin(0.5 / normalizer) * math.sqrt(q * (1 - q))
+
+    def k_py(self, q, normalizer):
+        q = min(max(q, 1e-15), 1 - 1e-15)
+        return normalizer * math.asin(2 * q - 1)
+
+    def q_py(self, k, normalizer):
+        x = min(max(k / normalizer, -math.pi / 2), math.pi / 2)
+        return (math.sin(x) + 1) / 2
+
 
 class _K1Fast(_K1):
     # np.arcsin is vectorized; the reference's fastAsin is a scalar-JVM
@@ -147,6 +182,17 @@ class _K2(_ScaleFunction):
 
     def normalizer(self, compression, n):
         return compression / self._z(compression, n)
+
+    def max_py(self, q, normalizer):
+        return q * (1 - q) / normalizer
+
+    def k_py(self, q, normalizer):
+        q = min(max(q, 1e-15), 1 - 1e-15)
+        return math.log(q / (1 - q)) * normalizer
+
+    def q_py(self, k, normalizer):
+        w = math.exp(k / normalizer)
+        return w / (1 + w)
 
     @staticmethod
     def _z(compression, n):
@@ -185,6 +231,20 @@ class _K3(_ScaleFunction):
 
     def normalizer(self, compression, n):
         return compression / self._z(compression, n)
+
+    def max_py(self, q, normalizer):
+        return min(q, 1 - q) / normalizer
+
+    def k_py(self, q, normalizer):
+        q = min(max(q, 1e-15), 1 - 1e-15)
+        if q <= 0.5:
+            return math.log(2 * q) * normalizer
+        return -math.log(2 * (1 - q)) * normalizer
+
+    def q_py(self, k, normalizer):
+        if k <= 0:
+            return math.exp(k / normalizer) / 2
+        return 1 - math.exp(-k / normalizer) / 2
 
     @staticmethod
     def _z(compression, n):
