@@ -23,7 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import SparkSession, functions as F  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from t_digest_spark.operators.aggregate import tdigest_aggregate  # noqa: E402
 from t_digest_spark.operators.extract import (  # noqa: E402
@@ -90,15 +90,11 @@ def q4_lineitem_grouped(spark):
 
 
 def main():
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("t-digest-bench")
-        .config("spark.sql.shuffle.partitions", str(CPUS))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "16g")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    from t_digest_spark.session import build_session
+
+    spark = build_session(f"local[{CPUS}]", CPUS, app_name="t-digest-bench",
+                          **{"spark.driver.memory": "16g",
+                             "spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: spin up python workers / JIT so q1 isn't charged for it

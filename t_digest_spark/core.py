@@ -520,8 +520,67 @@ class TDigest:
         return _weighted_average(float(mean[n - 1]), z1, self._max, z2)
 
     def quantiles(self, qs) -> np.ndarray:
-        return np.asarray([self.quantile(q) for q in np.atleast_1d(qs)],
-                          dtype=np.float64)
+        """Vectorized multi-quantile: same semantics as ``quantile`` (the
+        scalar walk of MergingDigest.java:697-783 re-expressed with
+        cumsum + searchsorted); differentially tested against the scalar
+        port in tests/test_invariants.py."""
+        qs = np.atleast_1d(np.asarray(qs, dtype=np.float64))
+        if ((qs < 0) | (qs > 1)).any():
+            raise ValueError("q should be in [0,1]")
+        self._flush()
+        n = self._ncentroids
+        if n == 0:
+            return np.full(qs.shape, np.nan)
+        if n == 1:
+            return np.full(qs.shape, float(self._mean[0]))
+        m = self._mean[:n]
+        w = self._weight[:n]
+        total = self._total_weight
+        lo, hi = self._min, self._max
+        index = qs * total
+
+        csum = np.cumsum(w)
+        # weightSoFar before interval i equals csum[i] - w[i]/2
+        wsf = csum - w / 2
+        # interval i brackets index when wsf[i+1] > index >= wsf[i]
+        i = np.clip(np.searchsorted(wsf, index, side="right") - 1,
+                    0, n - 2)
+        wsf_i = wsf[i]
+        dw = (w[i] + w[i + 1]) / 2
+        left_unit = np.where(w[i] == 1, 0.5, 0.0)
+        right_unit = np.where(w[i + 1] == 1, 0.5, 0.0)
+        z1 = index - wsf_i - left_unit
+        z2 = wsf_i + dw - index - right_unit
+        x1, w1 = m[i], z2
+        x2, w2 = m[i + 1], z1
+        interp = (x1 * w1 + x2 * w2) / (w1 + w2)
+        interp = np.clip(interp, np.minimum(x1, x2), np.maximum(x1, x2))
+        out = interp
+        # singleton spheres (no interpolation inside unit-weight centroids)
+        out = np.where((w[i + 1] == 1) & (wsf_i + dw - index <= 0.5),
+                       m[i + 1], out)
+        out = np.where((w[i] == 1) & (index - wsf_i < 0.5), m[i], out)
+        # fallthrough past the last interval: interpolate out to max
+        fz1 = index - total - w[n - 1] / 2.0
+        fz2 = w[n - 1] / 2 - fz1
+        fx = (m[n - 1] * fz1 + hi * fz2) / (fz1 + fz2)
+        fx = np.clip(fx, min(m[n - 1], hi), max(m[n - 1], hi))
+        # scalar loop falls through when no interval has
+        # weightSoFar + dw > index, i.e. index >= wsf[n-1]
+        out = np.where(index >= wsf[n - 1], fx, out)
+        # tails (evaluated last: they take precedence, matching the
+        # scalar early returns)
+        out = np.where(
+            (w[n - 1] > 1) & (total - index <= w[n - 1] / 2),
+            hi - (total - index - 1) / (w[n - 1] / 2 - 1) * (hi - m[n - 1]),
+            out)
+        out = np.where(index > total - 1, hi, out)
+        out = np.where(
+            (w[0] > 1) & (index < w[0] / 2),
+            lo + (index - 1) / (w[0] / 2 - 1) * (m[0] - lo),
+            out)
+        out = np.where(index < 1, lo, out)
+        return out
 
     def cdfs(self, xs) -> np.ndarray:
         return np.asarray([self.cdf(x) for x in np.atleast_1d(xs)],

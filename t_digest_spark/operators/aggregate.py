@@ -85,55 +85,109 @@ def partial_digests(
 
     Returns a DataFrame ``group_cols... , digest binary, rows long`` with
     at most (#partitions x #distinct keys) rows.
+
+    Implemented over ``mapInArrow`` — values reach NumPy zero-copy-ish
+    and group keys are dictionary-encoded by Arrow C kernels, so there
+    is no pandas conversion and no per-row Python anywhere.
     """
+    import pyarrow as pa
+
     group_cols = list(group_cols)
     cols = group_cols + [value_col] + ([weight_col] if weight_col else [])
     narrow = df.select(*cols)  # column pruning reaches the scan
     out_schema = _digest_schema(narrow, group_cols)
+    n_keys = len(group_cols)
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow.compute as pc
+
         acc: dict[tuple, TDigest] = {}
         counts: dict[tuple, int] = {}
-        for pdf in batches:
-            values = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
-            weights = (
-                pdf[weight_col].to_numpy(dtype=np.float64, na_value=np.nan)
-                if weight_col else None
-            )
-            if group_cols:
-                grouped = pdf.groupby(group_cols, dropna=False, sort=False)
-                key_index = grouped.indices.items()
+        key_schema: list = [None] * n_keys
+        for batch in batches:
+            values = batch.column(n_keys).to_numpy(zero_copy_only=False)
+            if weight_col:
+                weights = batch.column(n_keys + 1).to_numpy(
+                    zero_copy_only=False)
             else:
-                key_index = [((), np.arange(len(pdf)))]
-            for key, idx in key_index:
-                if not isinstance(key, tuple):
-                    key = (key,)
-                v = values[idx]
-                ok = ~np.isnan(v)  # aggregate ignores NULL/NaN inputs
-                if weights is not None:
-                    w = weights[idx]
-                    ok &= ~np.isnan(w) & (w > 0)
-                    w = w[ok]
-                else:
-                    w = None
-                v = v[ok]
+                weights = None
+            ok = ~np.isnan(values)  # aggregate ignores NULL/NaN inputs
+            if weights is not None:
+                ok &= ~np.isnan(weights) & (weights > 0)
+
+            if n_keys == 0:
+                v = values[ok] if not ok.all() else values
                 if v.size == 0:
                     continue
+                d = acc.get(())
+                if d is None:
+                    d = TDigest(compression, buffer_size=buffer_size,
+                                scale=scale)
+                    acc[()] = d
+                    counts[()] = 0
+                d.add_batch(v, weights[ok] if weights is not None else None)
+                counts[()] += v.size
+                continue
+
+            # dictionary-encode each key column (C kernel), combine codes
+            dicts = []
+            combined = None
+            for i in range(n_keys):
+                col = batch.column(i)
+                key_schema[i] = batch.schema.field(i)
+                enc = pc.dictionary_encode(col)
+                codes = pc.fill_null(enc.indices, -1).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                dicts.append(enc.dictionary)
+                card = len(enc.dictionary) + 1
+                combined = codes + 1 if combined is None \
+                    else combined * card + (codes + 1)
+            if not ok.all():
+                combined = np.where(ok, combined, -1)
+
+            order = np.argsort(combined, kind="stable")
+            sorted_codes = combined[order]
+            # group boundaries over the sorted codes
+            bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [sorted_codes.size]))
+            sorted_values = values[order]
+            sorted_weights = weights[order] if weights is not None else None
+            for s, e in zip(starts, ends):
+                if sorted_codes[s] < 0:  # filtered-out rows bucket
+                    continue
+                row0 = order[s]
+                key = tuple(
+                    batch.column(i)[row0].as_py() for i in range(n_keys))
                 d = acc.get(key)
                 if d is None:
                     d = TDigest(compression, buffer_size=buffer_size,
                                 scale=scale)
                     acc[key] = d
                     counts[key] = 0
-                d.add_batch(v, w)
-                counts[key] += v.size
-        if acc:
-            rows = []
-            for key, d in acc.items():
-                rows.append(tuple(key) + (d.to_bytes(), counts[key]))
-            yield pd.DataFrame(rows, columns=group_cols + [DIGEST_FIELD, "rows"])
+                d.add_batch(
+                    sorted_values[s:e],
+                    sorted_weights[s:e] if sorted_weights is not None
+                    else None)
+                counts[key] += e - s
 
-    return narrow.mapInPandas(build, schema=out_schema)
+        if acc:
+            keys = list(acc.keys())
+            arrays = []
+            names = []
+            for i, c in enumerate(group_cols):
+                typ = key_schema[i].type if key_schema[i] is not None else None
+                arrays.append(pa.array([k[i] for k in keys], type=typ))
+                names.append(c)
+            arrays.append(pa.array(
+                [acc[k].to_bytes() for k in keys], type=pa.binary()))
+            names.append(DIGEST_FIELD)
+            arrays.append(pa.array([counts[k] for k in keys],
+                                   type=pa.int64()))
+            names.append("rows")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return narrow.mapInArrow(build, schema=out_schema)
 
 
 def _merge_fn(compression: float, scale: str, group_cols: Sequence[str],
@@ -168,8 +222,11 @@ def merge_digests_df(
     if group_cols:
         return partials.groupBy(*group_cols).applyInPandas(fn, schema=schema)
     # global aggregate: single group — funnel the per-partition digest rows
-    # (already tiny) into one task and merge
-    return partials.coalesce(1).mapInPandas(
+    # (already tiny) into one task and merge.  repartition, NOT coalesce:
+    # coalesce(1) would collapse the whole upstream partial-build stage
+    # into a single task; repartition keeps a shuffle barrier so partials
+    # stay parallel and only ~1 KB digest rows funnel through it.
+    return partials.repartition(1).mapInPandas(
         _global_merge_gen(compression, scale), schema=schema)
 
 

@@ -1,0 +1,60 @@
+"""Recommended Spark configuration for t_digest_spark pipelines.
+
+These settings matter at any scale; two are load-bearing:
+
+- ``spark.sql.execution.arrow.maxBytesPerBatch = 2147483647`` (Int.MaxValue)
+  Spark 4.x guards every Arrow batch row-append with
+  ``ArrowWriter.sizeInBytes()`` (BatchedPythonArrowInput.underBatchSizeLimit),
+  and ``ArrowFieldWriter.getSizeInBytes`` does
+  ``setValueCount(count); getBufferSizeFor(count)`` — O(rows-so-far) work
+  *per row*, i.e. O(rows^2) per batch.  Profiled here it capped the whole
+  JVM→Python exchange at ~4M rows/s with every executor thread burning in
+  ``StructVector.setValueCount``.  Int.MaxValue exactly short-circuits the
+  check (batch size is then bounded by maxRecordsPerBatch, default 10k,
+  which is what actually bounds memory).
+
+- ``spark.python.daemon.module = t_digest_spark.daemon``
+  preloads numpy/pandas/pyarrow in the worker daemon so per-task forked
+  workers inherit them copy-on-write instead of re-importing (~0.7 s per
+  task in syscall-constrained sandboxes).
+
+The rest are ordinary large-input hygiene: AQE on, shuffle partitions
+sized to the cluster, scan splits sized so small files still fan out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+__all__ = ["recommended_confs", "build_session"]
+
+
+def recommended_confs(cores: int = 32) -> dict[str, str]:
+    return {
+        # disable the per-row O(n^2) Arrow batch size accounting
+        "spark.sql.execution.arrow.maxBytesPerBatch": "2147483647",
+        # bigger Arrow batches amortize per-group costs in high-cardinality
+        # groupings (safe once the per-row size check above is off)
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
+        # preloaded-fork python workers
+        "spark.python.daemon.module": "t_digest_spark.daemon",
+        "spark.python.worker.reuse": "true",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.shuffle.partitions": str(max(2 * cores, 16)),
+        # keep scan splits small enough that modest inputs still use
+        # every core (tune upward for genuinely huge files)
+        "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+        "spark.sql.files.openCostInBytes": str(1024 * 1024),
+    }
+
+
+def build_session(master: str | None = None, cores: int = 32,
+                  app_name: str = "t-digest-spark", **extra) -> SparkSession:
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    for k, v in recommended_confs(cores).items():
+        b = b.config(k, v)
+    for k, v in extra.items():
+        b = b.config(k, v)
+    return b.getOrCreate()

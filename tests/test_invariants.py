@@ -143,3 +143,27 @@ def test_alternating_sort_flag():
             est = d.quantile(q)
             rank = np.searchsorted(sorted_data, est) / data.size
             assert abs(rank - q) < 0.012
+
+
+def test_quantiles_vectorized_matches_scalar():
+    # the vectorized quantiles() must agree with the faithful scalar
+    # quantile() walk everywhere, including tails and singleton spheres
+    rng = np.random.default_rng(16)
+    cases = [
+        rng.uniform(size=100_000),
+        rng.gamma(0.1, 10.0, size=50_000),
+        np.arange(20, dtype=np.float64),
+        np.array([1.0, 2.0, 3.0]),
+        np.rint(rng.uniform(size=20_000) * 10) / 10.0,
+        np.concatenate([np.full(10_000, 5.0), [1.0, 9.0]]),
+    ]
+    qs = np.unique(np.concatenate([
+        np.linspace(0, 1, 501),
+        np.array([1e-7, 1e-5, 1e-4, 1 - 1e-4, 1 - 1e-5, 1 - 1e-7]),
+    ]))
+    for data in cases:
+        d = TDigest(100)
+        d.add_batch(data)
+        vec = d.quantiles(qs)
+        for q, v in zip(qs, vec):
+            assert v == d.quantile(q), (data[:3], q, v, d.quantile(q))
