@@ -119,7 +119,129 @@ def _q_trimmed_mean_smalln(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# queries — sibling sketches (count-min / bloom / HLL), histograms
+# ---------------------------------------------------------------------
+
+def _q_countmin_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates; width >> cardinality ⇒ exact counts
+    with overwhelming probability (functions/sketches.py)."""
+    from t_digest_spark.operators.sketch_agg import (
+        cm_estimates, hashed, sketch_aggregate,
+    )
+    events = load_table(spark, sf_dir, "events")
+    types = [r[0] for r in
+             events.select("event_type").distinct().orderBy("event_type")
+             .collect()]
+    agg = sketch_aggregate(events, "event_type", "cm", width=65536, depth=5)
+    est = agg.select(cm_estimates(
+        "sketch", F.array(*[hashed(F.lit(t)) for t in types])).alias("est"))
+    return est.select(
+        F.posexplode("est").alias("type_idx", "est_count")
+    ).withColumn(
+        "event_type",
+        F.element_at(F.array(*[F.lit(t) for t in types]),
+                     F.col("type_idx") + 1),
+    ).select("event_type", "est_count")
+
+
+def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-HLL distinct users per event type (approximate → rows-only;
+    tolerance asserted in tests/test_sketches.py)."""
+    from t_digest_spark.operators.sketch_agg import distinct_count_approx
+    events = load_table(spark, sf_dir, "events")
+    return distinct_count_approx(events, "user_id", ["event_type"])
+
+
+def _q_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FloatHistogram per event_type: exact bucket-count totals
+    (oracle checks total counts per group — bucket arithmetic is
+    float-bit-level and checked in tests/test_histogram_compare.py)."""
+    from t_digest_spark.functions.histogram import histogram_aggregate
+    events = load_table(spark, sf_dir, "events")
+    pos = events.where(F.col("value") > 0.001)
+    agg = histogram_aggregate(pos, "value", ["event_type"], kind="float",
+                              min_=1e-3, max_=1e6)
+    return agg.select("event_type", F.col("rows").alias("n_values"))
+
+
+# ---------------------------------------------------------------------
+# queries — training-pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------
+
+def _q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting per source (operators/dedup.py)."""
+    from t_digest_spark.operators.dedup import exact_dedup
+    docs = load_table(spark, sf_dir, "documents")
+    kept = exact_dedup(docs, "text", "doc_id")
+    return (docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+            .join(kept.groupBy("source").agg(
+                F.count("*").alias("n_unique")), "source"))
+
+
+def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + char totals per lang
+    (operators/text.py; oracle reproduces the token count with
+    length/replace arithmetic on single-space-normalized text)."""
+    from t_digest_spark.operators.text import token_count
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "lang",
+        F.regexp_replace(F.trim("text"), r"\s+", " ").alias("t"))
+    return norm.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("t")).alias("total_tokens"),
+        F.sum(F.length("t")).alias("total_chars"),
+    )
+
+
+def _q_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the labeled lang column: agreement
+    counts per label (deterministic → rows-only with pytest cover)."""
+    from t_digest_spark.operators.text import lang_id
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.withColumn("pred", lang_id("text"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("pred") == F.col("lang"), 1)
+                       .otherwise(0)).alias("n_agree")))
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pair count per jaccard band (rows-only —
+    exactness of the verified jaccard is covered in tests)."""
+    from t_digest_spark.operators.dedup import minhash_lsh_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", num_perm=32,
+                              bands=8, threshold=0.5)
+    return pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).alias("jaccard_decile")
+    ).agg(F.count("*").alias("n_pairs"))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the vec_id=0 embedding
+    (operators/similarity.py); oracle = DuckDB list_cosine_similarity.
+    Values rounded to 5 decimals on both sides."""
+    from t_digest_spark.operators.similarity import cosine_to_query
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    scored = emb.select(
+        "vec_id",
+        F.round(cosine_to_query(
+            F.col("embedding").cast("array<double>"), q), 5).alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "countmin_event_types": _q_countmin_event_types,
+    "hll_distinct_users": _q_hll_distinct_users,
+    "histogram_events": _q_histogram_events,
+    "exact_dedup_documents": _q_exact_dedup_documents,
+    "text_token_stats": _q_text_token_stats,
+    "lang_id_agreement": _q_lang_id_agreement,
+    "minhash_pairs": _q_minhash_pairs,
+    "ann_topk": _q_ann_topk,
     "digest_stats_by_type": _q_digest_stats_by_type,
     "digest_quantiles_by_type": _q_digest_quantiles_by_type,
     "digest_global_lineitem": _q_digest_global_lineitem,
@@ -129,6 +251,50 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "countmin_event_types": """
+        SELECT event_type, COUNT(*) AS est_count
+        FROM events GROUP BY event_type
+    """,
+    "histogram_events": """
+        SELECT event_type, COUNT(*) AS n_values
+        FROM events WHERE value > 0.001 GROUP BY event_type
+    """,
+    "exact_dedup_documents": """
+        WITH norm AS (
+            SELECT source, doc_id,
+                   LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')) AS t
+            FROM documents),
+        keep AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY t),
+        kept AS (SELECT n.source FROM norm n
+                 JOIN keep k ON n.doc_id = k.doc_id)
+        SELECT d.source, d.n_docs, u.n_unique
+        FROM (SELECT source, COUNT(*) AS n_docs FROM documents
+              GROUP BY source) d
+        JOIN (SELECT source, COUNT(*) AS n_unique FROM kept
+              GROUP BY source) u USING (source)
+    """,
+    "text_token_stats": """
+        WITH norm AS (
+            SELECT lang, REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g') AS t
+            FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(CASE WHEN LENGTH(t) = 0 THEN 0
+                   ELSE LENGTH(t) - LENGTH(REPLACE(t, ' ', '')) + 1
+                   END) AS total_tokens,
+               SUM(LENGTH(t)) AS total_chars
+        FROM norm GROUP BY lang
+    """,
+    "ann_topk": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT qv FROM q)),
+                     5) AS cosine
+        FROM embeddings
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """,
     "digest_stats_by_type": """
         SELECT event_type,
                CAST(COUNT(value) AS DOUBLE) AS n_values,

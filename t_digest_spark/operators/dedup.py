@@ -1,0 +1,270 @@
+"""Deduplication operators for training-data pipelines.
+
+Five levels, all shaped for 100 TB inputs:
+
+- ``exact_dedup``          — hash-groupBy on a normalized fingerprint
+  (one shuffle of (hash, id) pairs, never text).
+- ``minhash_lsh_pairs``    — shingle → minhash signature → banded LSH
+  bucket join → verified Jaccard.  Candidate generation touches only
+  (band_hash, id); signatures are Arrow-batched NumPy.
+- ``simhash_pairs``        — 64-bit simhash, chunked into 4x16-bit
+  bucket keys so any pair within Hamming distance 3 shares a chunk
+  (pigeonhole), verified by exact Hamming distance.
+- ``ngram_jaccard``        — exact shingle-set Jaccard for a candidate
+  pair set (the verifier used by both LSH paths).
+- ``embedding_cosine_pairs`` — sign-of-random-hyperplane LSH over an
+  embedding column, cosine-verified.
+
+Candidate joins are joins between small derived tables; Catalyst/AQE
+broadcast them when they fit.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from .text import fingerprint, shingle_fingerprints
+
+__all__ = [
+    "exact_dedup", "exact_dup_groups", "minhash_signature",
+    "minhash_lsh_pairs", "simhash", "simhash_pairs", "ngram_jaccard",
+    "embedding_cosine_pairs",
+]
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", keep: str = "min") -> DataFrame:
+    """Keep one row per distinct normalized text: group by fingerprint,
+    keep the min/max id.  Shuffles only (fingerprint, id)."""
+    fp = df.select(F.col(id_col),
+                   fingerprint(text_col).alias("__fp"))
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    keepers = fp.groupBy("__fp").agg(agg.alias(id_col)).select(id_col)
+    return df.join(keepers, on=id_col, how="inner")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Duplicate clusters: fingerprint → count + member ids (ids only
+    for groups with >1 member)."""
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
+    return (fp.groupBy("__fp")
+            .agg(F.count("*").alias("n_dups"),
+                 F.sort_array(F.collect_list(id_col)).alias("ids"))
+            .where(F.col("n_dups") > 1))
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(shingles_col, num_perm: int = 64,
+                      seed: int = 7):
+    """MinHash signature (array<long>) from an array-of-shingle-hashes
+    column.  Vectorized: one (num_perm x n_shingles) NumPy min-reduce
+    per row batch via a pandas UDF (shingle hashing itself already
+    happened JVM-side in shingle_fingerprints)."""
+    a, b = _perm_params(num_perm, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def f(sh: pd.Series) -> pd.Series:
+        aa = a.astype(np.uint64)[:, None]
+        bb = b.astype(np.uint64)[:, None]
+
+        def one(arr):
+            if arr is None or len(arr) == 0:
+                return None
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)[None, :]
+            sig = ((aa * h + bb) % np.uint64(_MERSENNE)).min(axis=1)
+            return sig.astype(np.int64).tolist()
+
+        return sh.map(one)
+
+    return f(shingles_col)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k_shingle: int = 5,
+                      num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.7,
+                      verify: bool = True) -> DataFrame:
+    """Near-duplicate pairs by MinHash + banded LSH.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >=
+    threshold (estimated from signatures when verify=False).
+    """
+    rows_per_band = num_perm // bands
+    sigs = df.select(
+        F.col(id_col),
+        shingle_fingerprints(text_col, k_shingle).alias("__sh"),
+    ).withColumn("__sig", minhash_signature("__sh", num_perm))
+
+    # band key: hash of each signature slice; explode to (band, key, id)
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sigs.select(
+        id_col, "__sig",
+        F.posexplode(F.transform(
+            band_idx,
+            lambda i: F.xxhash64(F.concat_ws(
+                ",", F.slice("__sig", i * rows_per_band + 1,
+                             rows_per_band))))).alias("__band", "__key"),
+    )
+    cand = (banded.alias("l")
+            .join(banded.alias("r"),
+                  on=[F.col("l.__band") == F.col("r.__band"),
+                      F.col("l.__key") == F.col("r.__key"),
+                      F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"),
+                    F.col("l.__sig").alias("__sig_a"),
+                    F.col("r.__sig").alias("__sig_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    # signature-estimated jaccard (fraction of matching minhashes)
+    est = cand.withColumn(
+        "jaccard",
+        F.aggregate(
+            F.zip_with("__sig_a", "__sig_b",
+                       lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0), lambda acc, v: acc + v) / F.lit(num_perm),
+    ).select("id_a", "id_b", "jaccard")
+    if not verify:
+        return est.where(F.col("jaccard") >= threshold)
+    # exact verification on the candidate set only
+    sh = df.select(F.col(id_col),
+                   shingle_fingerprints(text_col, k_shingle).alias("__sh"))
+    verified = (est
+                .join(sh.select(F.col(id_col).alias("id_a"),
+                                F.col("__sh").alias("__sh_a")), "id_a")
+                .join(sh.select(F.col(id_col).alias("id_b"),
+                                F.col("__sh").alias("__sh_b")), "id_b")
+                .withColumn("jaccard", ngram_jaccard("__sh_a", "__sh_b"))
+                .select("id_a", "id_b", "jaccard"))
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard(sh_a, sh_b):
+    """Exact Jaccard of two shingle-hash arrays (JVM set ops)."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def simhash(text_col, num_bits: int = 64, seed: int = 11):
+    """64-bit SimHash from token hashes: per bit, sign of the sum of
+    ±1 contributions.  Token hashing JVM-side; bit-vote NumPy."""
+    toks = F.transform(
+        F.split(F.lower(F.trim(text_col if not isinstance(text_col, str)
+                               else F.col(text_col))), r"\s+"),
+        lambda w: F.xxhash64(w))
+
+    @pandas_udf(LongType())
+    def votes(hs: pd.Series) -> pd.Series:
+        bits = np.arange(num_bits, dtype=np.uint64)
+
+        def one(arr):
+            if arr is None or len(arr) == 0:
+                return 0
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)[:, None]
+            bit = ((h >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+            v = (2 * bit - 1).sum(axis=0)
+            out = np.uint64(0)
+            for i in range(num_bits):
+                if v[i] > 0:
+                    out |= np.uint64(1) << np.uint64(i)
+            return int(out.astype(np.int64))
+
+        return hs.map(one)
+
+    return votes(toks)
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs whose simhashes differ in <= max_hamming bits.
+
+    Bucket on each of (max_hamming + 1) bit chunks — by pigeonhole, a
+    pair within the Hamming budget shares at least one chunk — then
+    verify the exact Hamming distance.  Default 4 x 16-bit chunks for
+    the conventional <=3-bit budget; larger budgets mean narrower
+    chunks and proportionally more candidates.
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    sh = df.select(F.col(id_col), simhash(text_col).alias("__simhash"))
+    chunks = sh.select(
+        id_col, "__simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("__simhash", i * width).bitwiseAND(mask)
+            for i in range(n_chunks)
+        ])).alias("__chunk", "__ckey"))
+    cand = (chunks.alias("l")
+            .join(chunks.alias("r"),
+                  on=[F.col("l.__chunk") == F.col("r.__chunk"),
+                      F.col("l.__ckey") == F.col("r.__ckey"),
+                      F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"),
+                    F.col("l.__simhash").alias("__ha"),
+                    F.col("r.__simhash").alias("__hb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand.withColumn(
+        "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming"))
+
+
+def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
+                           id_col: str = "vec_id", n_planes: int = 16,
+                           threshold: float = 0.95, seed: int = 13,
+                           dim: int | None = None) -> DataFrame:
+    """Near-duplicate embeddings: random-hyperplane LSH bucket (sign
+    bits of n_planes projections) then exact cosine verification."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+    @pandas_udf(LongType())
+    def bucket(vs: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            x = np.asarray(v, dtype=np.float64)
+            sig = (planes @ x) > 0
+            return int(sum(int(b) << i for i, b in enumerate(sig)))
+        return vs.map(one)
+
+    b = df.select(F.col(id_col), F.col(vec_col), bucket(vec_col)
+                  .alias("__bucket"))
+    cand = (b.alias("l")
+            .join(b.alias("r"),
+                  on=[F.col("l.__bucket") == F.col("r.__bucket"),
+                      F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"),
+                    F.col(f"l.{vec_col}").alias("__va"),
+                    F.col(f"r.{vec_col}").alias("__vb")))
+    dot = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform("__va", lambda x: x * x),
+                            F.lit(0.0), lambda a, v: a + v))
+    nb = F.sqrt(F.aggregate(F.transform("__vb", lambda x: x * x),
+                            F.lit(0.0), lambda a, v: a + v))
+    return (cand.withColumn("cosine", dot / (na * nb))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

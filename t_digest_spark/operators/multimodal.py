@@ -1,0 +1,147 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The container has no image/audio libraries, so the decode kernels are
+STUBS — clearly marked, swappable (see ``set_decoder``): by default a
+deterministic fake decoder derived from the payload bytes, or
+``NotImplementedError`` in strict mode.  Everything Spark-side is real
+and tested: schemas, batch iteration shape, partition behavior, the
+mapInPandas/mapInArrow UDF signatures, and the metadata handling a
+1000-executor pipeline needs (payload sizes stay off the shuffle paths;
+only derived features move).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, FloatType, IntegerType, LongType,
+    StringType, StructField, StructType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA", "FEATURE_SCHEMA", "synth_media", "decode_features",
+    "frame_sample", "set_decoder",
+]
+
+#: canonical multimodal table shape: id, modality, payload, metadata
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("modality", StringType(), False),   # image|audio|video
+    StructField("payload", BinaryType(), False),     # opaque encoded bytes
+    StructField("mime", StringType(), True),
+    StructField("width", IntegerType(), True),       # image/video
+    StructField("height", IntegerType(), True),
+    StructField("duration_ms", IntegerType(), True),  # audio/video
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("modality", StringType(), False),
+    StructField("n_bytes", IntegerType(), False),
+    StructField("feature", ArrayType(FloatType()), False),
+])
+
+
+def _fake_decode(payload: bytes, modality: str, dim: int) -> np.ndarray:
+    """Deterministic fake feature: seeded from a digest of the payload.
+    Stands in for a real decode→model-embed kernel (which would need
+    pillow/ffmpeg/torch — not in this container)."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=dim).astype(np.float32)
+    return v / max(float(np.linalg.norm(v)), 1e-12)
+
+
+_DECODER: Callable[[bytes, str, int], np.ndarray] | None = _fake_decode
+
+
+def set_decoder(fn: Callable[[bytes, str, int], np.ndarray] | None) -> None:
+    """Install a real decode kernel, or None for strict mode (raises
+    NotImplementedError so missing codecs fail loudly, not silently)."""
+    global _DECODER
+    _DECODER = fn
+
+
+def synth_media(spark, n: int = 1000, seed: int = 42,
+                partitions: int = 8) -> DataFrame:
+    """Deterministic synthetic media table in MEDIA_SCHEMA shape
+    (payload = seeded pseudo-random bytes; sizes vary by modality)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for cid in pdf["id"]:
+                rng = np.random.default_rng((seed, int(cid)))
+                per = max(1, n // partitions)
+                rows = []
+                for i in range(per):
+                    mid = int(cid) * per + i
+                    modality = ["image", "audio", "video"][mid % 3]
+                    size = {"image": 4096, "audio": 16384,
+                            "video": 65536}[modality]
+                    payload = rng.integers(
+                        0, 256, size=size, dtype=np.uint8).tobytes()
+                    rows.append((
+                        mid, modality, payload,
+                        {"image": "image/png", "audio": "audio/wav",
+                         "video": "video/mp4"}[modality],
+                        256 if modality != "audio" else None,
+                        256 if modality != "audio" else None,
+                        None if modality == "image" else 1000 + mid % 9000,
+                    ))
+                yield pd.DataFrame(rows, columns=[f.name for f in
+                                                  MEDIA_SCHEMA.fields])
+
+    return spark.range(0, partitions, 1, partitions).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
+def decode_features(media: DataFrame, dim: int = 64) -> DataFrame:
+    """payload → feature vector via mapInPandas.
+
+    Real plumbing: Arrow-batched binary columns, per-batch NumPy, output
+    drops the payload so downstream stages never shuffle raw media.
+    The decode kernel itself is the stub (see module docstring).
+    """
+    cols = ["media_id", "modality", "payload"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if _DECODER is None:
+                raise NotImplementedError(
+                    "no media decoder installed in this environment; "
+                    "install one with set_decoder()")
+            feats = [
+                _DECODER(bytes(p), m, dim).tolist()
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "modality": pdf["modality"],
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "feature": feats,
+            })
+
+    return media.select(*cols).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000,
+                 max_frames: int = 32) -> DataFrame:
+    """Video frame sampling plan: one row per sampled frame timestamp.
+
+    The timestamp arithmetic is JVM-side (sequence + explode); actual
+    frame extraction would happen in a decode UDF downstream (stubbed
+    here, like decode_features)."""
+    vids = media.where(F.col("modality") == "video")
+    ts = F.sequence(
+        F.lit(0),
+        F.least(F.col("duration_ms") - 1,
+                F.lit(every_ms * (max_frames - 1))),
+        F.lit(every_ms))
+    return (vids.withColumn("frame_ts_ms", F.explode(ts))
+            .select("media_id", "frame_ts_ms", "width", "height"))

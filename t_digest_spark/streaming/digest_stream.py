@@ -1,0 +1,119 @@
+"""Structured Streaming t-digest aggregation.
+
+The digest's partial/final merge is the same code in batch and
+streaming, so streaming aggregation is just: per micro-batch build
+partial digests (mapInArrow — stateless, streaming-safe), then fold
+them into a persistent per-key state table.  Two surfaces:
+
+- ``stream_digests``: foreachBatch sink that maintains a compacted
+  digest-per-(group key) parquet state dir, atomically versioned.
+  Late data is handled naturally: a late row's digest merges into its
+  key like any other — no watermark needed for correctness, only for
+  state expiry (optional ``max_versions`` keeps history bounded).
+- ``windowed_digest_query``: convenience wrapper that buckets by
+  tumbling event-time window + keys, i.e. the per-minute digests of
+  the reference's monitoring scenario (ComparisonTest.java:38-127) —
+  the trailing-hour comparison digest is then just merge_digests over
+  the last 60 window rows (functions/compare.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..core import TDigest, merge_digests
+from ..operators.aggregate import DIGEST_FIELD, merge_digests_df, \
+    partial_digests
+
+__all__ = ["stream_digests", "windowed_digest_query", "read_digest_state"]
+
+
+def _state_versions(state_dir: str) -> list[str]:
+    if not os.path.isdir(state_dir):
+        return []
+    return sorted(d for d in os.listdir(state_dir) if d.startswith("v_"))
+
+
+def read_digest_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Latest committed digest state (one row per group key)."""
+    versions = _state_versions(state_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, versions[-1]))
+
+
+def stream_digests(
+    stream_df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    state_dir: str,
+    checkpoint_dir: str,
+    compression: float = 100.0,
+    scale: str = "K_2",
+    trigger_seconds: int | None = None,
+    max_versions: int = 3,
+    query_name: str = "tdigest-stream",
+):
+    """Start a streaming query folding ``stream_df`` into per-key digests.
+
+    Each micro-batch: partial digests of the batch → union with current
+    state → merge per key → write a new state version (atomic via
+    version directories; readers always see a complete snapshot).
+    """
+    group_cols = list(group_cols)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partials = partial_digests(batch_df, value_col, group_cols,
+                                   compression, scale)
+        prev = read_digest_state(spark, state_dir)
+        if prev is not None:
+            partials = partials.unionByName(
+                prev.select(*group_cols, DIGEST_FIELD, "rows"))
+        merged = merge_digests_df(partials, group_cols, compression, scale)
+        out = os.path.join(state_dir, f"v_{batch_id:012d}")
+        merged.write.mode("overwrite").parquet(out)
+        # bounded history
+        versions = _state_versions(state_dir)
+        for stale in versions[:-max_versions]:
+            _rmtree(os.path.join(state_dir, stale))
+
+    writer = (stream_df.writeStream
+              .queryName(query_name)
+              .option("checkpointLocation", checkpoint_dir)
+              .foreachBatch(fold)
+              .outputMode("update"))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def _rmtree(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def windowed_digest_query(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    window_duration: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    compression: float = 100.0,
+    **kwargs,
+):
+    """Tumbling-event-time-window digests: adds ``window_start`` to the
+    group keys and folds as in ``stream_digests``."""
+    bucketed = stream_df.withColumn(
+        "window_start",
+        F.window(F.col(ts_col), window_duration).getField("start"))
+    return stream_digests(
+        bucketed, value_col, list(group_cols) + ["window_start"],
+        state_dir, checkpoint_dir, compression, **kwargs)

@@ -1,0 +1,169 @@
+"""Checkpoint/resume pipeline and streaming digest aggregation."""
+
+import glob
+import os
+import shutil
+import time
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from t_digest_spark.core import TDigest
+from t_digest_spark.plans.pipeline import DigestCheckpointPipeline
+from t_digest_spark.streaming.digest_stream import (
+    read_digest_state, stream_digests,
+)
+
+from conftest import dist_cdf
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def _write_input(spark, path, n=20_000, parts=8, seed=0):
+    rng = np.random.default_rng(seed)
+    pdf = [(("g%d" % (i % 3)), float(v))
+           for i, v in enumerate(rng.uniform(size=n))]
+    df = spark.createDataFrame(pdf, "g string, v double").repartition(parts)
+    df.write.mode("overwrite").parquet(path)
+    return np.sort(rng.integers(0, 1, 1))  # placeholder
+
+
+def test_checkpoint_resume_equivalence(spark, workdir):
+    inp = os.path.join(workdir, "input.parquet")
+    rng = np.random.default_rng(1)
+    vals = rng.uniform(size=30_000)
+    df = spark.createDataFrame(
+        [(("g%d" % (i % 2)), float(v)) for i, v in enumerate(vals)],
+        "g string, v double").repartition(8)
+    df.write.mode("overwrite").parquet(inp)
+
+    ck = os.path.join(workdir, "ckpt")
+    pipe = DigestCheckpointPipeline(spark, inp, "v", ["g"], ck,
+                                    files_per_batch=3)
+    # run 1: process only the first batch of files
+    all_files = sorted(spark.read.parquet(inp).inputFiles())
+    p1 = DigestCheckpointPipeline(spark, inp, "v", ["g"], ck,
+                                  files_per_batch=3)
+    # simulate interruption: process a subset by temporarily batching
+    state = p1.run_partials()
+    assert state["complete"]
+    assert state["processed_now"] == len(all_files)
+
+    # run again: nothing left to do (resume is a no-op)
+    state2 = pipe.run_partials()
+    assert state2["processed_now"] == 0
+    assert state2["already_done"] == len(all_files)
+
+    # lineage recorded
+    lin = pipe.lineage()
+    assert lin["complete"] is True
+    assert lin["n_input_files"] == len(all_files)
+
+    # metrics exist per (file, group)
+    m = pipe.metrics().collect()
+    assert len(m) > 0
+    assert all(r.centroids > 0 and r.digest_bytes > 0 for r in m)
+
+    # finalize matches a direct aggregation within merge bounds
+    final = {r.g: TDigest.from_bytes(bytes(r.digest))
+             for r in pipe.finalize().collect()}
+    by_g = {"g0": np.sort(vals[0::2]), "g1": np.sort(vals[1::2])}
+    for g, data in by_g.items():
+        d = final[g]
+        assert d.size == data.size
+        for q in (0.01, 0.5, 0.99):
+            assert abs(dist_cdf(d.quantile(q), data) - q) < 0.015
+
+
+def test_checkpoint_partial_interrupt(spark, workdir):
+    """Interrupt mid-run (small files_per_batch), resume, finalize —
+    the resumed run must only process the remaining files."""
+    inp = os.path.join(workdir, "input2.parquet")
+    rng = np.random.default_rng(2)
+    vals = rng.normal(size=12_000)
+    spark.createDataFrame([(float(v),) for v in vals], "v double") \
+        .repartition(6).write.mode("overwrite").parquet(inp)
+    ck = os.path.join(workdir, "ckpt2")
+
+    class Interrupting(DigestCheckpointPipeline):
+        def run_first_batch_only(self):
+            files = self._input_files()
+            batch = files[: self.files_per_batch]
+            df = self.spark.read.parquet(*batch).withColumn(
+                "__source_file", F.input_file_name())
+            from t_digest_spark.operators.aggregate import partial_digests
+            from t_digest_spark.operators.extract import digest_stats
+            partials = partial_digests(df, self.value_col,
+                                       ["__source_file"], self.compression)
+            enriched = partials.select(
+                "*", digest_stats("digest").alias("__stats")
+            ).select(
+                "__source_file", "digest", "rows",
+                F.col("__stats").getField("centroids").alias("centroids"),
+                F.col("__stats").getField("min").alias("v_min"),
+                F.col("__stats").getField("max").alias("v_max"),
+                F.length("digest").alias("digest_bytes"))
+            enriched.write.mode("append").parquet(self.partials_path)
+
+    broken = Interrupting(spark, inp, "v", [], ck, files_per_batch=2)
+    broken.run_first_batch_only()
+    done_before = broken._done_files()
+    assert 0 < len(done_before) < 6
+
+    resumed = DigestCheckpointPipeline(spark, inp, "v", [], ck,
+                                       files_per_batch=2)
+    state = resumed.run_partials()
+    assert state["already_done"] == len(done_before)
+    assert state["processed_now"] == 6 - len(done_before)
+    assert state["complete"]
+
+    d = TDigest.from_bytes(bytes(resumed.finalize().collect()[0].digest))
+    data = np.sort(vals)
+    assert d.size == data.size
+    for q in (0.1, 0.5, 0.9):
+        assert abs(dist_cdf(d.quantile(q), data) - q) < 0.015
+
+
+def test_streaming_digests(spark, workdir):
+    """File-source stream: drop files in, watch the state fold them."""
+    src = os.path.join(workdir, "stream_src")
+    state = os.path.join(workdir, "stream_state")
+    ckpt = os.path.join(workdir, "stream_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    rng = np.random.default_rng(3)
+    all_vals = []
+
+    def drop(n, seed_part):
+        vals = rng.uniform(size=n)
+        all_vals.extend(vals.tolist())
+        pdf = spark.createDataFrame(
+            [("k", float(v)) for v in vals], "g string, v double")
+        pdf.coalesce(1).write.mode("append").parquet(src)
+
+    drop(2000, 0)
+    stream = (spark.readStream
+              .schema("g string, v double")
+              .parquet(src))
+    q = stream_digests(stream, "v", ["g"], state, ckpt,
+                       trigger_seconds=None)
+    try:
+        q.processAllAvailable()
+        drop(3000, 1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = read_digest_state(spark, state)
+    assert out is not None
+    row = out.collect()[0]
+    d = TDigest.from_bytes(bytes(row.digest))
+    data = np.sort(np.asarray(all_vals))
+    assert d.size == data.size == 5000
+    for qq in (0.1, 0.5, 0.9):
+        assert abs(dist_cdf(d.quantile(qq), data) - qq) < 0.02

