@@ -233,7 +233,68 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
 
 
+def _q_kll_median_smalln(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL with n << capacity retains every sample ⇒ quantile(0.5) is
+    the exact order statistic at rank ceil(0.5 n) (functions/kll.py)."""
+    from t_digest_spark.functions.kll import kll_aggregate, kll_quantiles_of
+    nation = load_table(spark, sf_dir, "nation")
+    agg = kll_aggregate(
+        nation.withColumn("nk", F.col("n_nationkey").cast("double")),
+        "nk", ["n_regionkey"], k=200)
+    return agg.select(
+        "n_regionkey",
+        F.element_at(kll_quantiles_of("kll", [0.5]), 1)
+        .alias("median_nationkey"))
+
+
+def _q_kll_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantiles per event type (approximate → rows-only; bounds
+    asserted in tests/test_kll.py)."""
+    from t_digest_spark.functions.kll import kll_aggregate, kll_quantiles_of
+    events = load_table(spark, sf_dir, "events")
+    agg = kll_aggregate(events, "value", ["event_type"], k=200)
+    return agg.select("event_type",
+                      kll_quantiles_of("kll", [0.1, 0.5, 0.9])
+                      .alias("quantiles"))
+
+
+def _q_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between odd and even event_id halves of each
+    event type: chi2 (G-test over quantile bins) + normalized KS
+    (functions/compare.py, the monitoring scenario).  Deterministic →
+    rows-only; behavior pinned in tests/test_histogram_compare.py."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from t_digest_spark.functions.compare import drift_scores
+    events = load_table(spark, sf_dir, "events")
+    half = events.withColumn("half", (F.col("event_id") % 2).cast("int"))
+    agg = tdigest_aggregate(half, "value", ["event_type", "half"])
+    wide = (agg.where(F.col("half") == 0)
+            .select("event_type", F.col("digest").alias("d0"))
+            .join(agg.where(F.col("half") == 1)
+                  .select("event_type", F.col("digest").alias("d1")),
+                  "event_type"))
+
+    @pandas_udf(StructType([StructField("chi2", DoubleType()),
+                            StructField("ks", DoubleType())]))
+    def score(d0: pd.Series, d1: pd.Series) -> pd.DataFrame:
+        out = [drift_scores(a, b) for a, b in zip(d0, d1)]
+        return pd.DataFrame(out)
+
+    return wide.select(
+        "event_type", score("d0", "d1").alias("s")
+    ).select("event_type",
+             F.round(F.col("s.chi2"), 3).alias("chi2"),
+             F.round(F.col("s.ks"), 3).alias("ks"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kll_median_smalln": _q_kll_median_smalln,
+    "kll_quantiles_events": _q_kll_quantiles_events,
+    "drift_scores": _q_drift_scores,
     "countmin_event_types": _q_countmin_event_types,
     "hll_distinct_users": _q_hll_distinct_users,
     "histogram_events": _q_histogram_events,
@@ -251,6 +312,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "kll_median_smalln": """
+        WITH ranked AS (
+            SELECT n_regionkey, CAST(n_nationkey AS DOUBLE) AS nk,
+                   ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY n_regionkey) AS cnt
+            FROM nation)
+        SELECT n_regionkey, nk AS median_nationkey
+        FROM ranked
+        WHERE rn = GREATEST(CAST(CEIL(0.5 * cnt) AS BIGINT), 1)
+    """,
     "countmin_event_types": """
         SELECT event_type, COUNT(*) AS est_count
         FROM events GROUP BY event_type

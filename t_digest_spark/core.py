@@ -658,9 +658,20 @@ class TDigest:
         self.compress()
         return self._ncentroids * 8 + 30
 
-    def to_bytes(self) -> bytes:
-        """VERBOSE encoding (MergingDigest.java:868-880)."""
-        self.compress()
+    def to_bytes(self, compress: bool = True) -> bytes:
+        """VERBOSE encoding (MergingDigest.java:868-880).
+
+        ``compress=False`` serializes at the working compression
+        (more centroids, ~2x bytes): the right choice for *partial*
+        digests that will be merged again — stratified sub-digests at
+        delta' > delta merge more accurately (docs/vldb/short.tex:185-198)
+        and skipping the final merge pass saves the dominant per-key
+        finalize cost in map-side aggregation.
+        """
+        if compress:
+            self.compress()
+        else:
+            self._flush()
         n = self._ncentroids
         head = struct.pack(">iddd i", _VERBOSE_ENCODING,
                            self._min if n else math.inf,
@@ -745,16 +756,22 @@ def merge_digests(digests, compression: float | None = None,
         compression = digests[0].public_compression
     if scale is None:
         scale = digests[0].scale
-    out = TDigest(compression, buffer_size=buffer_size, scale=scale)
     means, weights = [], []
     mn, mx = math.inf, -math.inf
+    total_centroids = 0
     for d in digests:
-        d.compress()
+        d._flush()
         if d._ncentroids:
             means.append(d._mean[:d._ncentroids])
             weights.append(d._weight[:d._ncentroids])
             mn = min(mn, d._min)
             mx = max(mx, d._max)
+            total_centroids += d._ncentroids
+    # size the temp buffer to swallow every incoming centroid in ONE
+    # merge pass, like the reference add(List) (MergingDigest.java:307-350)
+    if buffer_size == -1:
+        buffer_size = max(total_centroids + int(4 * compression) + 64, 2048)
+    out = TDigest(compression, buffer_size=buffer_size, scale=scale)
     if means:
         out.add_centroids(np.concatenate(means), np.concatenate(weights),
                           mn, mx)

@@ -180,7 +180,8 @@ def partial_digests(
                 arrays.append(pa.array([k[i] for k in keys], type=typ))
                 names.append(c)
             arrays.append(pa.array(
-                [acc[k].to_bytes() for k in keys], type=pa.binary()))
+                [acc[k].to_bytes(compress=False) for k in keys],
+                type=pa.binary()))
             names.append(DIGEST_FIELD)
             arrays.append(pa.array([counts[k] for k in keys],
                                    type=pa.int64()))
