@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from t_digest_spark.operators.aggregate import (
@@ -263,8 +264,6 @@ def _q_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     event type: chi2 (G-test over quantile bins) + normalized KS
     (functions/compare.py, the monitoring scenario).  Deterministic →
     rows-only; behavior pinned in tests/test_histogram_compare.py."""
-    import pandas as pd
-
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType, StructField, StructType
 

@@ -253,6 +253,7 @@ def histogram_aggregate(df, value_col: str, group_cols: Sequence[str] = (),
         import pyarrow.compute as pc
 
         acc, counts = {}, {}
+        key_types = [None] * n_keys
         for batch in batches:
             v = batch.column(n_keys).to_numpy(zero_copy_only=False)
             ok = ~np.isnan(v)
@@ -265,6 +266,7 @@ def histogram_aggregate(df, value_col: str, group_cols: Sequence[str] = (),
                 continue
             combined = None
             for i in range(n_keys):
+                key_types[i] = batch.schema.field(i).type
                 enc = pc.dictionary_encode(batch.column(i))
                 codes = pc.fill_null(enc.indices, -1).to_numpy(
                     zero_copy_only=False).astype(np.int64)
@@ -292,7 +294,7 @@ def histogram_aggregate(df, value_col: str, group_cols: Sequence[str] = (),
                 counts[key] += e - s
         if acc:
             keys = list(acc.keys())
-            arrays = [pa.array([k[i] for k in keys])
+            arrays = [pa.array([k[i] for k in keys], type=key_types[i])
                       for i in range(n_keys)]
             arrays.append(pa.array([acc[k].to_bytes() for k in keys],
                                    type=pa.binary()))

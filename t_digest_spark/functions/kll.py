@@ -20,6 +20,7 @@ import math
 import struct
 
 import numpy as np
+import pandas as pd
 
 from ..operators._arrow_agg import grouped_sketch_aggregate
 
@@ -202,8 +203,6 @@ def kll_aggregate(df, value_col: str, group_cols=(), k: int = 200):
 
 def kll_quantiles_of(kll_col, qs):
     """array<double> of quantiles from a KLL blob column."""
-    import pandas as pd
-
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, DoubleType
 

@@ -57,6 +57,7 @@ def grouped_sketch_aggregate(
 
         acc: dict[tuple, object] = {}
         counts: dict[tuple, int] = {}
+        key_types: list = [None] * n_keys
 
         def upd(key, v):
             sk = acc.get(key)
@@ -79,6 +80,7 @@ def grouped_sketch_aggregate(
                 continue
             combined = None
             for i in range(n_keys):
+                key_types[i] = batch.schema.field(i).type
                 enc = pc.dictionary_encode(batch.column(i))
                 codes = pc.fill_null(enc.indices, -1).to_numpy(
                     zero_copy_only=False).astype(np.int64)
@@ -102,7 +104,7 @@ def grouped_sketch_aggregate(
 
         if acc:
             keys = list(acc.keys())
-            arrays = [pa.array([k[i] for k in keys])
+            arrays = [pa.array([k[i] for k in keys], type=key_types[i])
                       for i in range(n_keys)]
             arrays.append(pa.array([to_bytes(acc[k]) for k in keys],
                                    type=pa.binary()))

@@ -91,6 +91,7 @@ def sketch_aggregate(
 
         acc: dict[tuple, object] = {}
         counts: dict[tuple, int] = {}
+        key_types: list = [None] * n_keys
 
         def upd(key, h, w):
             sk = acc.get(key)
@@ -115,6 +116,7 @@ def sketch_aggregate(
                 continue
             combined = None
             for i in range(n_keys):
+                key_types[i] = batch.schema.field(i).type
                 enc = pc.dictionary_encode(batch.column(i))
                 codes = pc.fill_null(enc.indices, -1).to_numpy(
                     zero_copy_only=False).astype(np.int64)
@@ -137,7 +139,8 @@ def sketch_aggregate(
             keys = list(acc.keys())
             arrays = []
             for i, _c in enumerate(group_cols):
-                arrays.append(pa.array([k[i] for k in keys]))
+                arrays.append(pa.array([k[i] for k in keys],
+                                       type=key_types[i]))
             arrays.append(pa.array([acc[k].to_bytes() for k in keys],
                                    type=pa.binary()))
             arrays.append(pa.array([counts[k] for k in keys],

@@ -146,12 +146,11 @@ def turn_metrics(transcripts: DataFrame) -> DataFrame:
     - ts_hour:  date_trunc('hour', ts)  (grouping bucket)
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # NTZ timestamps can't cast straight to double; go through timestamp
+    ts_s = F.col("ts").cast("timestamp").cast("double")
     return (
         transcripts
         .withColumn("text_len", F.length("text").cast("double"))
-        .withColumn(
-            "latency_s",
-            (F.col("ts").cast("double")
-             - F.lag(F.col("ts").cast("double")).over(w)))
+        .withColumn("latency_s", ts_s - F.lag(ts_s).over(w))
         .withColumn("ts_hour", F.date_trunc("hour", "ts"))
     )
