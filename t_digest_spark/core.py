@@ -278,8 +278,16 @@ class TDigest:
         seg_mw = np.add.reduceat(m * w, starts)
         out_mean = seg_mw / seg_w
         # keep singleton means exact (no fp round-trip through m*w/w)
-        single = np.diff(np.append(starts, n)) == 1
+        ends = np.append(starts[1:], n)
+        single = (ends - starts) == 1
         out_mean[single] = m[starts[single]]
+        # sum/total can overshoot the segment's extremes by 1 ulp (the
+        # reference's incremental convex update can't — MergingDigest
+        # .java:441-442); clamp to the segment's own value range
+        # (bounds ordered either way depending on sweep direction)
+        b1, b2 = m[starts], m[ends - 1]
+        out_mean = np.clip(out_mean, np.minimum(b1, b2),
+                           np.maximum(b1, b2))
 
         if run_backwards:
             out_mean = out_mean[::-1]
