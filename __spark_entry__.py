@@ -290,7 +290,25 @@ def _q_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.col("s.ks"), 3).alias("ks"))
 
 
+def _q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) derived purely by digest
+    merging (operators/rollup.py) — exact stats at every grouping level
+    match SQL GROUP BY ROLLUP."""
+    from t_digest_spark.operators.rollup import tdigest_rollup
+    li = load_table(spark, sf_dir, "lineitem")
+    rolled = tdigest_rollup(li, "l_quantity",
+                            ["l_returnflag", "l_linestatus"])
+    s = digest_stats("digest")
+    return rolled.select(
+        "l_returnflag", "l_linestatus",
+        s.getField("n").alias("n_values"),
+        s.getField("min").alias("min_qty"),
+        s.getField("max").alias("max_qty"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rollup_stats": _q_rollup_stats,
     "kll_median_smalln": _q_kll_median_smalln,
     "kll_quantiles_events": _q_kll_quantiles_events,
     "drift_scores": _q_drift_scores,
@@ -311,6 +329,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "rollup_stats": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(l_quantity) AS DOUBLE) AS n_values,
+               MIN(l_quantity) AS min_qty,
+               MAX(l_quantity) AS max_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
     "kll_median_smalln": """
         WITH ranked AS (
             SELECT n_regionkey, CAST(n_nationkey AS DOUBLE) AS nk,

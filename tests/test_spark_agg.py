@@ -193,3 +193,42 @@ def test_transcripts_metrics_digest(spark):
         d = TDigest.from_bytes(bytes(r.digest))
         assert d.size > 0
         assert d.quantile(0.5) >= 0
+
+
+def test_rollup_matches_direct_aggregation(spark, events, exact_by_type):
+    from t_digest_spark.operators.rollup import tdigest_rollup
+
+    rolled = tdigest_rollup(events, "value", ["event_type"]).collect()
+    by_level = {}
+    for r in rolled:
+        by_level.setdefault(r.grouping_level, []).append(r)
+    # level 0: one row per type, exact stats per group
+    assert len(by_level[0]) == len(exact_by_type)
+    for r in by_level[0]:
+        d = TDigest.from_bytes(bytes(r.digest))
+        assert d.size == exact_by_type[r.event_type].size
+    # level 1: grand total row with NULL key, derived purely by merge
+    assert len(by_level[1]) == 1
+    total = TDigest.from_bytes(bytes(by_level[1][0].digest))
+    all_data = np.sort(np.concatenate(list(exact_by_type.values())))
+    assert by_level[1][0].event_type is None
+    assert total.size == all_data.size
+    assert total.min == all_data[0] and total.max == all_data[-1]
+    for q in (0.05, 0.5, 0.95):
+        from conftest import dist_cdf
+        assert abs(dist_cdf(total.quantile(q), all_data) - q) < 0.015
+
+
+def test_cube_grouping_sets(spark):
+    from t_digest_spark.operators.rollup import tdigest_cube
+
+    sdf = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0),
+         ("b", "y", 4.0)] * 25,
+        "g1 string, g2 string, v double")
+    cube = tdigest_cube(sdf, "v", ["g1", "g2"]).collect()
+    # 4 + 2 + 2 + 1 = 9 grouping-set rows
+    assert len(cube) == 9
+    totals = [r for r in cube if r.g1 is None and r.g2 is None]
+    assert len(totals) == 1
+    assert TDigest.from_bytes(bytes(totals[0].digest)).size == 100

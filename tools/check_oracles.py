@@ -33,9 +33,10 @@ def _norm(v):
 
 
 def _rows_to_set(rows):
-    return sorted(
-        tuple(_norm(v) for v in row) for row in rows
-    )
+    def key(row):
+        return tuple((v is None, str(v)) for v in row)
+
+    return sorted((tuple(_norm(v) for v in row) for row in rows), key=key)
 
 
 def main():
