@@ -25,7 +25,7 @@ from ..core import TDigest
 
 __all__ = [
     "quantile_of", "quantiles_of", "cdf_of", "cdfs_of",
-    "trimmed_mean_of", "digest_stats", "STATS_SCHEMA",
+    "trimmed_mean_of", "digest_stats", "digest_summary", "STATS_SCHEMA",
 ]
 
 STATS_SCHEMA = StructType([
@@ -106,6 +106,42 @@ def trimmed_mean_of(digest: Column | str, q0: float, q1: float) -> Column:
     def f(blobs: pd.Series) -> pd.Series:
         return blobs.map(
             lambda b: np.nan if b is None else _decode(b).trimmed_mean(a, b_))
+
+    return f(digest)
+
+
+def digest_summary(digest: Column | str, qs: Sequence[float],
+                   trim: tuple[float, float] = (0.05, 0.95)) -> Column:
+    """All common statistics in ONE digest decode per row: struct of
+    quantiles array, trimmed mean, n, min, max, centroids.
+
+    Prefer this over stacking quantile_of/trimmed_mean_of/digest_stats
+    when extracting several statistics — each of those decodes the blob
+    again (docs/DESIGN.md §8)."""
+    qvs = [float(q) for q in qs]
+    t0, t1 = float(trim[0]), float(trim[1])
+    schema = StructType([
+        StructField("quantiles", ArrayType(DoubleType())),
+        StructField("trimmed_mean", DoubleType()),
+        StructField("n", DoubleType()),
+        StructField("min", DoubleType()),
+        StructField("max", DoubleType()),
+        StructField("centroids", IntegerType()),
+    ])
+
+    @pandas_udf(schema)
+    def f(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in blobs:
+            if b is None:
+                rows.append(([np.nan] * len(qvs), np.nan, np.nan,
+                             np.nan, np.nan, 0))
+                continue
+            d = _decode(b)
+            rows.append((d.quantiles(qvs).tolist(),
+                         d.trimmed_mean(t0, t1), float(d.size),
+                         d.min, d.max, int(d.centroid_count())))
+        return pd.DataFrame(rows, columns=[fld.name for fld in schema.fields])
 
     return f(digest)
 

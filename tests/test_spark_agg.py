@@ -232,3 +232,39 @@ def test_cube_grouping_sets(spark):
     totals = [r for r in cube if r.g1 is None and r.g2 is None]
     assert len(totals) == 1
     assert TDigest.from_bytes(bytes(totals[0].digest)).size == 100
+
+
+def test_digest_summary_single_decode(spark, events, exact_by_type):
+    from t_digest_spark.operators.extract import digest_summary
+
+    agg = tdigest_aggregate(events, "value", ["event_type"])
+    rows = agg.select(
+        "event_type",
+        digest_summary("digest", [0.1, 0.5, 0.9]).alias("s")).collect()
+    for r in rows:
+        data = exact_by_type[r.event_type]
+        assert r.s.n == data.size
+        assert r.s["min"] == data[0] and r.s["max"] == data[-1]
+        for q, est in zip([0.1, 0.5, 0.9], r.s.quantiles):
+            assert abs(dist_cdf(est, data) - q) < 0.015
+
+
+def test_sql_registered_functions(spark, events, exact_by_type):
+    from t_digest_spark.operators.sql_api import register_sql_functions
+
+    register_sql_functions(spark)
+    tdigest_aggregate(events, "value", ["event_type"]) \
+        .createOrReplaceTempView("ev_digests")
+    rows = spark.sql("""
+        SELECT event_type,
+               tdigest_quantile(digest, 0.5) AS p50,
+               tdigest_cdf(digest, 50.0) AS c50,
+               tdigest_trimmed_mean(digest, 0.25, 0.75) AS iqm,
+               tdigest_count(digest) AS n
+        FROM ev_digests
+    """).collect()
+    for r in rows:
+        data = exact_by_type[r.event_type]
+        assert r.n == data.size
+        assert abs(dist_cdf(r.p50, data) - 0.5) < 0.015
+        assert r.c50 == pytest.approx(dist_cdf(50.0, data), abs=0.015)
