@@ -1,8 +1,14 @@
 """Local stand-in for the driver's correctness gate: run every
-__spark_entry__ query on Spark and its oracle SQL on DuckDB at sf0.01,
-compare row count, schema width, and order-insensitive values.
+__spark_entry__ query on Spark and its oracle SQL on DuckDB, compare
+row count, schema, and order-insensitive values.
 
-Usage: python tools/check_oracles.py [sf_dir]
+Faithful to the driver's canonicalizer (learned from round-1
+CORRECTNESS errors): results go through pandas ``sort_values`` over
+all columns — which CRASHES on array columns (so this script must,
+too) — and values are hashed dtype-sensitively (so ``3549.0`` vs
+``3549`` is a mismatch; we compare ``str()`` of every cell).
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -20,27 +26,33 @@ import __spark_entry__ as entrymod  # noqa: E402
 from t_digest_spark.sources.tables import TABLES  # noqa: E402
 
 
-def _norm(v):
+def _canon(pdf):
+    """Driver-equivalent canonicalization: columns sorted by name,
+    rows sorted by every column (raises TypeError on list columns,
+    exactly like the driver's pandas sort_values)."""
+    cols = sorted(pdf.columns)
+    out = pdf[cols].sort_values(by=cols).reset_index(drop=True)
+    return out
+
+
+def _cell(v) -> str:
     if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    return v
+        return "<null>"
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return f"{type(v).__name__}:{v!s}"
 
 
-def _rows_to_set(rows):
-    def key(row):
-        return tuple((v is None, str(v)) for v in row)
-
-    return sorted((tuple(_norm(v) for v in row) for row in rows), key=key)
+def _values(pdf) -> list[tuple]:
+    return [tuple(_cell(v) for v in row)
+            for row in pdf.itertuples(index=False, name=None)]
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) \
+        else "/root/testdata/sf0.01"
+    only = set(a for a in args if not os.path.isdir(a))
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -57,46 +69,53 @@ def main():
     oracles = entrymod.oracle_sql()
     failed = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
+            spdf = _canon(sdf.toPandas())
         except Exception as e:  # noqa: BLE001
-            print(f"[FAIL] {name}: spark error {type(e).__name__}: {e}")
+            print(f"[FAIL] {name}: spark/canon error "
+                  f"{type(e).__name__}: {e}")
             failed.append(name)
             continue
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(srows)} rows, "
-                  f"{len(sdf.columns)} cols {sdf.columns}")
+            print(f"[rows-only] {name}: {len(spdf)} rows, "
+                  f"{len(spdf.columns)} cols {list(spdf.columns)}")
             continue
-        orows = con.execute(oracles[name]).fetchall()
-        ocols = [d[0] for d in con.description]
+        try:
+            opdf = _canon(con.execute(oracles[name]).fetchdf())
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] {name}: oracle error {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
         status = []
-        if len(srows) != len(orows):
-            status.append(f"rowcount {len(srows)} vs {len(orows)}")
-        if sorted(c.lower() for c in sdf.columns) != \
-                sorted(c.lower() for c in ocols):
-            status.append(f"schema {sdf.columns} vs {ocols}")
-        # order columns by name on both sides (driver behavior)
-        sidx = [sdf.columns.index(c) for c in sorted(sdf.columns)]
-        oidx = [ocols.index(c) for c in sorted(ocols, key=str.lower)]
-        sset = _rows_to_set([[r[i] for i in sidx] for r in srows])
-        oset = _rows_to_set([[r[i] for i in oidx] for r in orows])
-        if sset != oset:
-            diff = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
-            status.append(f"values differ, first diffs: {diff}")
+        if len(spdf) != len(opdf):
+            status.append(f"rowcount {len(spdf)} vs {len(opdf)}")
+        if [c.lower() for c in spdf.columns] != \
+                [c.lower() for c in opdf.columns]:
+            status.append(
+                f"schema {list(spdf.columns)} vs {list(opdf.columns)}")
+        if not status:
+            sv, ov = _values(spdf), _values(opdf)
+            if sv != ov:
+                diff = [(a, b) for a, b in zip(sv, ov) if a != b][:3]
+                status.append(f"values differ, first diffs: {diff}")
         if status:
             print(f"[FAIL] {name}: {'; '.join(status)}")
             failed.append(name)
         else:
-            print(f"[OK]   {name}: {len(srows)} rows match oracle")
-    # smoke entry()
-    try:
-        edf = entrymod.entry(spark)
-        erows = edf.collect()
-        print(f"[entry] {len(erows)} rows, schema: {edf.schema.simpleString()}")
-    except Exception as e:  # noqa: BLE001
-        print(f"[FAIL] entry: {type(e).__name__}: {e}")
-        failed.append("entry")
+            print(f"[OK]   {name}: {len(spdf)} rows match oracle")
+    if not only:
+        # smoke entry()
+        try:
+            edf = entrymod.entry(spark)
+            erows = edf.collect()
+            print(f"[entry] {len(erows)} rows, "
+                  f"schema: {edf.schema.simpleString()}")
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] entry: {type(e).__name__}: {e}")
+            failed.append("entry")
     spark.stop()
     if failed:
         print("FAILED:", failed)
