@@ -591,8 +591,76 @@ class TDigest:
         return out
 
     def cdfs(self, xs) -> np.ndarray:
-        return np.asarray([self.cdf(x) for x in np.atleast_1d(xs)],
-                          dtype=np.float64)
+        """Vectorized multi-probe CDF: the scalar walk of
+        MergingDigest.java:559-695 re-expressed with cumsum +
+        searchsorted (same re-expression as ``quantiles``);
+        differentially tested against the scalar ``cdf`` in
+        tests/test_invariants.py."""
+        xs = np.atleast_1d(np.asarray(xs, dtype=np.float64))
+        if xs.size and (np.isnan(xs).any() or np.isinf(xs).any()):
+            raise ValueError("Invalid value in cdf probes")
+        self._flush()
+        n = self._ncentroids
+        if n == 0:
+            return np.full(xs.shape, np.nan)
+        total = self._total_weight
+        lo, hi = self._min, self._max
+        if n == 1:
+            width = hi - lo
+            out = np.full(xs.shape, 0.5)
+            inside = (xs >= lo) & (xs <= hi)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                frac = (xs - lo) / width if width > 0 else xs * 0.0
+            out = np.where(inside & (xs - lo > width), frac, out)
+            out = np.where(xs < lo, 0.0, out)
+            out = np.where(xs > hi, 1.0, out)
+            return out
+        m = self._mean[:n]
+        w = self._weight[:n]
+        csum = np.cumsum(w)
+        wsf = csum - w                       # weight before centroid i
+        j0 = np.searchsorted(m, xs, side="left")
+        j1 = np.searchsorted(m, xs, side="right")
+        # interior interpolation (non-tie): m[it] < x < m[it+1]
+        it = np.clip(j0 - 1, 0, n - 2)
+        li, ri = m[it], m[it + 1]
+        wl, wr = w[it], w[it + 1]
+        left_excl = np.where(wl == 1, 0.5, 0.0)
+        right_excl = np.where((wr == 1) & (wl != 1), 0.5, 0.0)
+        dw = (wl + wr) / 2
+        dw_no_single = dw - left_excl - right_excl
+        base = wsf[it] + wl / 2 + left_excl
+        with np.errstate(invalid="ignore", divide="ignore"):
+            interp = (base + dw_no_single * (xs - li) / (ri - li)) / total
+            # fp-madness guard (:678-684): zero-width gap
+            interp = np.where(ri - li > 0, interp,
+                              (wsf[it] + dw) / total)
+        out = np.where((wl == 1) & (wr == 1), (wsf[it] + 1) / total,
+                       interp)
+        # tie: x lands on a run of equal means [j0, j1) — half credit
+        run_w = np.where(j1 > j0,
+                         csum[np.minimum(j1, n) - 1] - wsf[np.minimum(
+                             j0, n - 1)], 0.0)
+        tie_val = (wsf[np.minimum(j0, n - 1)] + run_w / 2) / total
+        out = np.where(j1 > j0, np.where(j0 >= n - 1, 1 - 0.5 / total,
+                                         tie_val), out)
+        # right tail: x > m[n-1] (and not past max)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rt = 1 - (1 + (hi - xs) / (hi - m[n - 1])
+                      * (w[n - 1] / 2 - 1)) / total
+        rt = np.where(hi - m[n - 1] > 0, rt, 1.0)
+        rt = np.where(xs == hi, 1 - 0.5 / total, rt)
+        out = np.where((xs > m[n - 1]) & (j1 == j0), rt, out)
+        # left tail: x < m[0]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            lt = (1 + (xs - lo) / (m[0] - lo) * (w[0] / 2 - 1)) / total
+        lt = np.where(m[0] - lo > 0, lt, 0.0)
+        lt = np.where(xs == lo, 0.5 / total, lt)
+        out = np.where(xs < m[0], lt, out)
+        # outside the observed range
+        out = np.where(xs < lo, 0.0, out)
+        out = np.where(xs > hi, 1.0, out)
+        return out
 
     def trimmed_mean(self, q0: float, q1: float) -> float:
         """Mean of the samples between rank-quantiles q0 and q1

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -31,6 +32,12 @@ _C = 2.0 / 3.0
 
 
 class KLLSketch:
+    """seed: KLL's error analysis assumes *independent* compaction
+    coin-flips across the partial sketches that get merged; callers
+    aggregating many partials must vary the seed per partition/group
+    (kll_aggregate does).  The fixed default keeps single-sketch use
+    and tests reproducible."""
+
     def __init__(self, k: int = 200, seed: int = 1):
         if k < 8:
             raise ValueError("k >= 8")
@@ -82,13 +89,15 @@ class KLLSketch:
         if level + 1 >= len(self.levels):
             self.levels.append(np.empty(0, dtype=np.float64))
         offset = int(self._rng.integers(0, 2))
-        promoted = lv[offset::2]
-        # odd count: one item (with no partner) stays behind
-        if lv.size % 2 == 1 and offset == 0:
-            promoted = promoted[:-1]
-            keep = lv[-1:]
+        # odd count: the unpaired last element stays behind for BOTH
+        # offsets (with offset=1 the old code promoted lv[1::2] and
+        # dropped lv[-1] entirely, losing weight 2^level and biasing
+        # against the upper tail); pair up an even-length body only.
+        if lv.size % 2 == 1:
+            body, keep = lv[:-1], lv[-1:]
         else:
-            keep = np.empty(0, dtype=np.float64)
+            body, keep = lv, np.empty(0, dtype=np.float64)
+        promoted = body[offset::2]
         self.levels[level] = keep
         self.levels[level + 1] = np.concatenate(
             [self.levels[level + 1], promoted])
@@ -164,7 +173,9 @@ class KLLSketch:
         magic, k, n, mn, mx = struct.unpack_from(">iiqdd", buf, 0)
         if magic != _MAGIC_KLL:
             raise ValueError("not a KLL sketch")
-        out = cls(k)
+        # content-derived seed: deterministic, but decorrelates the
+        # merge-stage compaction coin-flips across distinct partials
+        out = cls(k, seed=zlib.crc32(buf))
         out.n = n
         if n:
             out._min, out._max = mn, mx
@@ -182,8 +193,16 @@ class KLLSketch:
         return out
 
 
-def kll_aggregate(df, value_col: str, group_cols=(), k: int = 200):
-    """Two-stage KLL aggregation: one sketch row per group."""
+def kll_aggregate(df, value_col: str, group_cols=(), k: int = 200,
+                  seed: int | None = None):
+    """Two-stage KLL aggregation: one sketch row per group.
+
+    seed=None (default) derives a distinct deterministic seed per
+    (Spark partition, sketch instance), so compaction coin-flips are
+    independent across the partials that later merge — the KLL error
+    analysis requires that; perfectly correlated flips make errors add
+    coherently.  Pass an int to force one shared seed (reproducibility
+    experiments only)."""
     def merge_blobs(blobs: list[bytes]) -> bytes:
         sks = [KLLSketch.from_bytes(b) for b in blobs]
         out = sks[0]
@@ -191,9 +210,21 @@ def kll_aggregate(df, value_col: str, group_cols=(), k: int = 200):
             out.merge(s)
         return out.to_bytes()
 
+    counter = [0]
+
+    def make() -> KLLSketch:
+        if seed is not None:
+            return KLLSketch(k, seed=seed)
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        counter[0] += 1
+        return KLLSketch(k, seed=zlib.crc32(
+            b"kll:%d:%d" % (pid, counter[0])))
+
     return grouped_sketch_aggregate(
         df, value_col, list(group_cols),
-        make=lambda: KLLSketch(k),
+        make=make,
         update=lambda sk, v: sk.update(v),
         to_bytes=lambda sk: sk.to_bytes(),
         merge_blobs=merge_blobs,

@@ -41,6 +41,35 @@ __all__ = [
 _MERSENNE = (1 << 61) - 1
 
 
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61 - 1) for uint64 x, using 2^61 ≡ 1 (mod p)."""
+    p = np.uint64(_MERSENNE)
+    x = (x >> np.uint64(61)) + (x & p)
+    x = (x >> np.uint64(61)) + (x & p)
+    return np.where(x >= p, x - p, x)
+
+
+def _mulmod61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """(a * h) mod (2^61 - 1) without overflow, both inputs already in
+    [0, p).  Split into 31/30-bit limbs so every partial product fits
+    uint64, then fold with 2^61 ≡ 1 (so 2^62 ≡ 2):
+
+        a·h = a1·h1·2^62 + (a1·h0 + a0·h1)·2^31 + a0·h0
+
+    This makes (a·h + b) mod p the genuine (a,b)-universal hash family
+    the MinHash analysis assumes — plain uint64 arithmetic wraps a·h
+    mod 2^64 BEFORE the Mersenne mod, which is not that family."""
+    m31 = np.uint64((1 << 31) - 1)
+    a1, a0 = a >> np.uint64(31), a & m31          # a1 < 2^30, a0 < 2^31
+    h1, h0 = h >> np.uint64(31), h & m31
+    t = a1 * h0 + a0 * h1                         # < 2^62
+    # t·2^31 = t1·2^61 + t0·2^31 ≡ t1 + t0·2^31  (t = t1·2^30 + t0)
+    mid = (t >> np.uint64(30)) + \
+        ((t & np.uint64((1 << 30) - 1)) << np.uint64(31))
+    x = np.uint64(2) * a1 * h1 + mid + a0 * h0    # < 2^63: safe
+    return _mod61(x)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", keep: str = "min") -> DataFrame:
     """Keep one row per distinct normalized text: group by fingerprint,
@@ -87,7 +116,7 @@ def minhash_signature(shingles_col, num_perm: int = 64,
             if arr is None or len(arr) == 0:
                 return None
             h = np.asarray(arr, dtype=np.int64).astype(np.uint64)[None, :]
-            sig = ((aa * h + bb) % np.uint64(_MERSENNE)).min(axis=1)
+            sig = _mod61(_mulmod61(aa, _mod61(h)) + bb).min(axis=1)
             return sig.astype(np.int64).tolist()
 
         return sh.map(one)
@@ -171,21 +200,29 @@ def simhash(text_col, num_bits: int = 64, seed: int = 11):
 
     @pandas_udf(LongType())
     def votes(hs: pd.Series) -> pd.Series:
+        # whole-batch vectorization: concatenate every row's token
+        # hashes, per-bit ±1 contributions in one (tokens x bits)
+        # matrix, per-row sums via add.reduceat on the row boundaries,
+        # then one shifted-sum bit-pack — no per-row Python loop.
         bits = np.arange(num_bits, dtype=np.uint64)
-
-        def one(arr):
-            if arr is None or len(arr) == 0:
-                return 0
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)[:, None]
-            bit = ((h >> bits[None, :]) & np.uint64(1)).astype(np.int64)
-            v = (2 * bit - 1).sum(axis=0)
-            out = np.uint64(0)
-            for i in range(num_bits):
-                if v[i] > 0:
-                    out |= np.uint64(1) << np.uint64(i)
-            return int(out.astype(np.int64))
-
-        return hs.map(one)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in hs),
+            dtype=np.int64, count=len(hs))
+        out = np.zeros(len(hs), dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in hs[nz]]
+            ).astype(np.uint64)[:, None]
+            contrib = (2 * ((flat >> bits[None, :]) & np.uint64(1))
+                       .astype(np.int32) - 1)
+            nz_lens = lens[nz]
+            starts = np.concatenate(([0], np.cumsum(nz_lens)[:-1]))
+            v = np.add.reduceat(contrib, starts, axis=0)   # (rows, bits)
+            packed = (((v > 0).astype(np.uint64) << bits[None, :])
+                      .sum(axis=1))
+            out[nz] = packed.astype(np.int64)
+        return pd.Series(out)
 
     return votes(toks)
 

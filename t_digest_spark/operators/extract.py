@@ -65,8 +65,7 @@ def quantiles_of(digest: Column | str, qs: Sequence[float]) -> Column:
         def one(b):
             if b is None:
                 return [np.nan] * len(qvs)
-            d = _decode(b)
-            return [d.quantile(q) for q in qvs]
+            return _decode(b).quantiles(qvs).tolist()
         return blobs.map(one)
 
     return f(digest)
@@ -91,8 +90,7 @@ def cdfs_of(digest: Column | str, xs: Sequence[float]) -> Column:
         def one(b):
             if b is None:
                 return [np.nan] * len(xvs)
-            d = _decode(b)
-            return [d.cdf(x) for x in xvs]
+            return _decode(b).cdfs(xvs).tolist()
         return blobs.map(one)
 
     return f(digest)

@@ -33,14 +33,34 @@ __all__ = ["stream_digests", "windowed_digest_query", "read_digest_state"]
 
 
 def _state_versions(state_dir: str) -> list[str]:
+    """Committed version directories only: a version counts once its
+    parquet write finished (_SUCCESS marker) AND it was atomically
+    renamed from its .tmp staging name — readers never see a
+    half-written snapshot."""
     if not os.path.isdir(state_dir):
         return []
-    return sorted(d for d in os.listdir(state_dir) if d.startswith("v_"))
+    return sorted(
+        d for d in os.listdir(state_dir)
+        if d.startswith("v_") and not d.endswith(".tmp")
+        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS")))
 
 
-def read_digest_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Latest committed digest state (one row per group key)."""
+def _version_id(name: str) -> int:
+    return int(name.split("_", 1)[1])
+
+
+def read_digest_state(spark: SparkSession, state_dir: str,
+                      before_batch: int | None = None) -> DataFrame | None:
+    """Latest committed digest state (one row per group key).
+
+    before_batch: only consider versions written by batches strictly
+    earlier — the foreachBatch fold passes its own batch_id so a RETRY
+    of a failed batch never folds on top of that same batch's partial
+    output (foreachBatch re-executes batch ids on recovery; folding a
+    batch into its own earlier attempt would double-count its rows)."""
     versions = _state_versions(state_dir)
+    if before_batch is not None:
+        versions = [v for v in versions if _version_id(v) < before_batch]
     if not versions:
         return None
     return spark.read.parquet(os.path.join(state_dir, versions[-1]))
@@ -70,13 +90,22 @@ def stream_digests(
         spark = batch_df.sparkSession
         partials = partial_digests(batch_df, value_col, group_cols,
                                    compression, scale)
-        prev = read_digest_state(spark, state_dir)
+        # strictly-older state only: on a foreachBatch RETRY of this
+        # batch_id, the failed attempt's own v_{batch_id} must not be
+        # folded again (it already contains this batch's rows)
+        prev = read_digest_state(spark, state_dir, before_batch=batch_id)
         if prev is not None:
             partials = partials.unionByName(
                 prev.select(*group_cols, DIGEST_FIELD, "rows"))
         merged = merge_digests_df(partials, group_cols, compression, scale)
         out = os.path.join(state_dir, f"v_{batch_id:012d}")
-        merged.write.mode("overwrite").parquet(out)
+        tmp = out + ".tmp"
+        _rmtree(tmp)
+        merged.write.mode("overwrite").parquet(tmp)
+        # atomic publish: rename is the commit point, so readers and
+        # retries only ever observe complete snapshots
+        _rmtree(out)
+        os.rename(tmp, out)
         # bounded history
         versions = _state_versions(state_dir)
         for stale in versions[:-max_versions]:

@@ -129,6 +129,54 @@ def test_checkpoint_partial_interrupt(spark, workdir):
         assert abs(dist_cdf(d.quantile(q), data) - q) < 0.015
 
 
+def test_streaming_fold_retry_idempotent(spark, workdir):
+    """foreachBatch re-executes a batch_id on recovery; the fold must
+    not merge the batch's rows on top of state the failed attempt of
+    the SAME batch already wrote (regression: read_digest_state used
+    to return versions[-1], double-counting retried batches)."""
+    from t_digest_spark.streaming import digest_stream as ds
+
+    state = os.path.join(workdir, "retry_state")
+    b0 = spark.createDataFrame(
+        [("k", float(v)) for v in range(100)], "g string, v double")
+    b1 = spark.createDataFrame(
+        [("k", float(v)) for v in range(100, 250)], "g string, v double")
+
+    captured = {}
+
+    def start_fold():
+        # reproduce the fold closure exactly as stream_digests wires it
+        def fold(batch_df, batch_id):
+            from t_digest_spark.operators.aggregate import (
+                merge_digests_df, partial_digests,
+            )
+            partials = partial_digests(batch_df, "v", ["g"], 100.0, "K_2")
+            prev = ds.read_digest_state(spark, state, before_batch=batch_id)
+            if prev is not None:
+                partials = partials.unionByName(
+                    prev.select("g", "digest", "rows"))
+            merged = merge_digests_df(partials, ["g"], 100.0, "K_2")
+            out = os.path.join(state, f"v_{batch_id:012d}")
+            tmp = out + ".tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            import shutil
+            if os.path.isdir(out):
+                shutil.rmtree(out)
+            os.rename(tmp, out)
+        return fold
+
+    fold = start_fold()
+    fold(b0, 0)
+    fold(b1, 1)      # first (─× failed after state write) attempt
+    fold(b1, 1)      # retry of the same batch_id
+    out = ds.read_digest_state(spark, state)
+    row = out.collect()[0]
+    d = TDigest.from_bytes(bytes(row.digest))
+    # 250 rows total — NOT 400 (b1 double-counted)
+    assert d.size == 250
+    assert row.rows == 250
+
+
 def test_streaming_digests(spark, workdir):
     """File-source stream: drop files in, watch the state fold them."""
     src = os.path.join(workdir, "stream_src")

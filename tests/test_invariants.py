@@ -167,3 +167,32 @@ def test_quantiles_vectorized_matches_scalar():
         vec = d.quantiles(qs)
         for q, v in zip(qs, vec):
             assert v == d.quantile(q), (data[:3], q, v, d.quantile(q))
+
+
+def test_cdfs_vectorized_matches_scalar():
+    # the vectorized cdfs() must agree with the faithful scalar cdf()
+    # walk everywhere: tails, exact centroid hits, equal-mean runs,
+    # two-singleton gaps, min/max, out-of-range, and tiny digests
+    rng = np.random.default_rng(23)
+    cases = [
+        rng.uniform(size=100_000),
+        rng.gamma(0.1, 10.0, size=50_000),
+        np.arange(20, dtype=np.float64),
+        np.array([1.0, 2.0, 3.0]),
+        np.array([7.0]),
+        np.rint(rng.uniform(size=20_000) * 10) / 10.0,   # heavy ties
+        np.concatenate([np.full(10_000, 5.0), [1.0, 9.0]]),
+    ]
+    for data in cases:
+        d = TDigest(100)
+        d.add_batch(data)
+        means, _ = d.centroids()
+        probes = np.unique(np.concatenate([
+            means,                                # exact centroid hits
+            (means[:-1] + means[1:]) / 2 if means.size > 1 else means,
+            [d.min, d.max, d.min - 1, d.max + 1],
+            np.quantile(data, [0.001, 0.01, 0.5, 0.99, 0.999]),
+        ]))
+        vec = d.cdfs(probes)
+        for x, v in zip(probes, vec):
+            assert v == d.cdf(float(x)), (data[:3], x, v, d.cdf(float(x)))

@@ -57,6 +57,28 @@ def test_kll_cdf_and_serde():
         assert rt.quantile(q) == sk.quantile(q)
 
 
+def test_kll_weight_conservation():
+    """Regression: _compact on an odd-size level with offset=1 used to
+    drop the unpaired max element entirely — n permanently disagreed
+    with the sum of level weights (observed: n=100000, weight=99968)
+    and the loss was always the level max, biasing the upper tail."""
+    rng = np.random.default_rng(7)
+    for seed in range(8):
+        sk = KLLSketch(k=64, seed=seed)
+        data = rng.uniform(size=50_001)
+        # odd-size drip feed maximizes odd-level compactions
+        for i in range(0, data.size, 997):
+            sk.update(data[i:i + 997])
+        total_w = sum(lv.size * 2 ** i for i, lv in enumerate(sk.levels))
+        assert total_w == sk.n == data.size, seed
+        # merged sketches conserve weight too
+        other = KLLSketch(k=64, seed=seed + 100)
+        other.update(rng.uniform(size=33_333))
+        sk.merge(other)
+        total_w = sum(lv.size * 2 ** i for i, lv in enumerate(sk.levels))
+        assert total_w == sk.n == data.size + 33_333, seed
+
+
 def test_kll_nan_rejected():
     sk = KLLSketch()
     with pytest.raises(ValueError):

@@ -133,6 +133,52 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_mulmod61_matches_bigint_arithmetic():
+    """The MinHash permutation must be the true (a,b)-universal family
+    (a*h + b) mod (2^61-1) — _mulmod61 must agree with arbitrary-
+    precision Python ints, including worst-case operands."""
+    from t_digest_spark.operators.dedup import _MERSENNE, _mod61, _mulmod61
+    rng = np.random.default_rng(17)
+    a = rng.integers(1, _MERSENNE, size=200, dtype=np.int64) \
+        .astype(np.uint64)
+    h = rng.integers(0, np.iinfo(np.int64).max, size=200,
+                     dtype=np.int64).astype(np.uint64)
+    # adversarial corners
+    a[:3] = [np.uint64(_MERSENNE - 1), np.uint64(1), np.uint64(2**60)]
+    h[:3] = [np.uint64(2**64 - 1), np.uint64(_MERSENNE), np.uint64(0)]
+    hr = _mod61(h)
+    got = _mulmod61(a, hr)
+    for ai, hi, gi in zip(a.tolist(), h.tolist(), got.tolist()):
+        assert gi == (ai * (hi % _MERSENNE)) % _MERSENNE, (ai, hi)
+
+
+def test_simhash_batch_matches_scalar_oracle(spark):
+    """The batched reduceat bit-vote must equal the definitional
+    per-row computation (sign of summed ±1 bit contributions of each
+    token's xxhash64)."""
+    texts = ["alpha beta gamma delta", "", "one",
+             "x " * 50, "spark sketch digest quantile merge"]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    from t_digest_spark.operators.dedup import simhash
+    got = {r.doc_id: r.sh for r in
+           sdf.select("doc_id", simhash("text").alias("sh")).collect()}
+    tok_hashes = {
+        r.doc_id: r.th for r in sdf.select(
+            "doc_id",
+            F.transform(F.split(F.lower(F.trim("text")), r"\s+"),
+                        lambda w: F.xxhash64(w)).alias("th")).collect()}
+    for doc_id, th in tok_hashes.items():
+        hs = np.asarray(th, dtype=np.int64).astype(np.uint64)
+        expect = 0
+        for i in range(64):
+            v = sum(1 if (int(x) >> i) & 1 else -1 for x in hs.tolist())
+            if v > 0:
+                expect |= 1 << i
+        expect = np.uint64(expect).astype(np.int64)
+        assert got[doc_id] == expect, doc_id
+
+
 def test_ngram_jaccard_expr(spark):
     sdf = spark.createDataFrame(
         [("a b c d e", "a b c d e"), ("a b c d e", "v w x y z")],
