@@ -425,6 +425,119 @@ def _q_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.col("s.chi2") < 22.5).alias("cross_chi2_ok"))
 
 
+def _q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup with planted duplicates (operators/dedup.py
+    simhash_pairs): every doc_id % 10 == 0 document gets an exact copy
+    at doc_id + 1,000,000; identical text ⇒ identical token hashes ⇒
+    identical signature ⇒ guaranteed chunk-bucket candidacy and
+    Hamming 0 — so the (base, twin) pair set is found with probability
+    1 and equals the oracle exactly.
+
+    Why planted: this corpus's tiny vocabulary collapses the natural
+    simhash space — docs with different token bags share signatures and
+    docs at shingle-jaccard 0.97 sit at Hamming 53 — so NO SQL-
+    expressible relation matches natural simhash pairs; near-dup
+    sensitivity on realistic text is covered by
+    tests/test_pipeline_ops.py instead."""
+    from t_digest_spark.operators.dedup import simhash_pairs
+    docs = load_table(spark, sf_dir, "documents") \
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    twins = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    both = docs.unionByName(twins)
+    pairs = simhash_pairs(both, "text", "doc_id", max_hamming=3)
+    return (pairs
+            .where(F.col("id_b") == F.col("id_a") + 1_000_000)
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"),
+                    F.col("hamming").cast("int").alias("hamming")))
+
+
+def _q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH near-dup over embeddings
+    (operators/dedup.py embedding_cosine_pairs, 4 bands x 16 planes).
+
+    The testdata embeddings have no natural near-dups (max base-pair
+    cosine ~0.55), so every vec_id % 10 == 0 row gets a deterministic
+    perturbed twin (id + 1,000,000, element i scaled by
+    1 + ((vec_id + 31*i) % 7)/1000 → cosine ~0.999998 to its base).
+    At that cosine the per-pair LSH miss probability is ~1e-8, so the
+    emitted pair set equals the exact all-pairs cosine >= 0.95 answer,
+    which the oracle computes brute-force over the same augmented
+    table.  Only ids are emitted — classification margins (0.9999 vs
+    <0.6) dwarf any cross-engine float noise."""
+    from t_digest_spark.operators.dedup import embedding_cosine_pairs
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>")
+                      .alias("embedding"))
+    twins = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1 + ((F.col("vec_id") + 31 * i) % 7) / 1000.0)
+        ).alias("embedding"))
+    both = base.unionByName(twins)
+    pairs = embedding_cosine_pairs(both, "embedding", "vec_id",
+                                   n_planes=16, n_bands=4, threshold=0.95)
+    return pairs.select(F.col("id_a").cast("long").alias("id_a"),
+                        F.col("id_b").cast("long").alias("id_b"))
+
+
+def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN planted-neighbor recall (operators/similarity.py): the
+    first 16 embeddings, deterministically perturbed (cosine ~0.999998
+    to their base), are the queries; the IVF index (16 lists, seeded
+    k-means, nprobe=4) must return the planted base vector as top-1 —
+    the standard planted-NN ANN check, computed in ONE Spark job via
+    ivf_topk_batch.  (The raw embeddings have no cluster structure —
+    max base-pair cosine ~0.55 — so generic recall@10 would measure
+    noise, not index quality.)  All-true oracle."""
+    from t_digest_spark.operators.similarity import ivf_build, ivf_topk_batch
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x * (1 + ((F.col("vec_id") + 31 * i) % 7) / 1000.0)
+        ).alias("query_vec"))
+    indexed, cents = ivf_build(emb, n_lists=16)
+    top1 = ivf_topk_batch(indexed, cents, queries_df, k=1, nprobe=4)
+    return (queries_df.select("query_id")
+            .join(top1.select("query_id",
+                              F.col("vec_id").cast("long").alias("hit")),
+                  "query_id", "left")
+            .select("query_id",
+                    (F.col("hit") == F.col("query_id"))
+                    .alias("found_neighbor")))
+
+
+_GAP_QS = [0.5, 0.95]
+
+
+def _q_event_gaps_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star job shape on the driver's events table: window
+    lag per user_id → inter-event gap seconds → t-digest by event_type
+    → p50/p95 verified by exact mid-point rank error <= 0.015, plus the
+    exact gap count per type (window-function coverage with a full SQL
+    oracle)."""
+    from pyspark.sql import Window
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("timestamp").cast("double")
+    gaps = (events
+            .withColumn("gap_s", ts_s - F.lag(ts_s).over(w))
+            .where(F.col("gap_s").isNotNull()))
+    agg = tdigest_aggregate(gaps, "gap_s", ["event_type"])
+    est = _explode_quantiles(
+        agg, ["event_type"], quantiles_of("digest", _GAP_QS), _GAP_QS)
+    checked = _rank_check(gaps, "gap_s", ["event_type"], est, 0.015)
+    n = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"))
+    return checked.join(n, "event_type") \
+        .select("event_type", "q", "rank_ok", "n_gaps")
+
+
 def _q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus) derived purely by digest
     merging (operators/rollup.py) — exact stats at every grouping level
@@ -455,7 +568,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": _q_text_token_stats,
     "lang_id_agreement": _q_lang_id_agreement,
     "minhash_pairs": _q_minhash_pairs,
+    "simhash_neardup_pairs": _q_simhash_neardup_pairs,
+    "embedding_neardup_pairs": _q_embedding_neardup_pairs,
     "ann_topk": _q_ann_topk,
+    "ivf_recall": _q_ivf_recall,
+    "event_gaps_window": _q_event_gaps_window,
     "digest_stats_by_type": _q_digest_stats_by_type,
     "digest_quantiles_by_type": _q_digest_quantiles_by_type,
     "digest_global_lineitem": _q_digest_global_lineitem,
@@ -610,6 +727,47 @@ ORACLES: dict[str, str] = {
     """,
     "lang_id_agreement": _lang_id_oracle(),
     "minhash_pairs": _MINHASH_ORACLE,
+    "simhash_neardup_pairs": """
+        SELECT CAST(doc_id AS BIGINT) AS id_a,
+               CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+               0 AS hamming
+        FROM documents WHERE doc_id % 10 = 0
+    """,
+    "embedding_neardup_pairs": """
+        WITH base AS (
+            SELECT vec_id,
+                   [CAST(embedding[i] AS DOUBLE)
+                    FOR i IN range(1, len(embedding) + 1)] AS v
+            FROM embeddings),
+        twins AS (
+            SELECT vec_id + 1000000 AS tid,
+                   [v[i] * (1 + ((vec_id + 31 * (i - 1)) % 7) / 1000.0)
+                    FOR i IN range(1, len(v) + 1)] AS tv
+            FROM base WHERE vec_id % 10 = 0),
+        allv AS (
+            SELECT vec_id, v FROM base
+            UNION ALL SELECT tid AS vec_id, tv AS v FROM twins)
+        SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+               CAST(b.vec_id AS BIGINT) AS id_b
+        FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+    """,
+    "ivf_recall": """
+        SELECT CAST(vec_id AS BIGINT) AS query_id, true AS found_neighbor
+        FROM embeddings WHERE vec_id < 16
+    """,
+    "event_gaps_window": """
+        WITH g AS (
+            SELECT event_type,
+                   epoch(ts) - lag(epoch(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM events),
+        n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps
+              FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+        SELECT event_type, q.q, true AS rank_ok, n_gaps
+        FROM n CROSS JOIN
+             (SELECT UNNEST([0.5::DOUBLE, 0.95::DOUBLE]) AS q) q
+    """,
     "ann_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                    FROM embeddings WHERE vec_id = 0)

@@ -5,9 +5,10 @@ local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 Queries:
   q1_events_digest      — grouped t-digest (event_type) + quantile extract
   q2_lineitem_global    — global tree-merged digest over 600k prices
-  q3_transcripts        — synthetic transcripts (~1M turns): window-lag
-                          latency metric → digest by (role, hour) →
-                          p50/p99/p999  (the north_star job shape)
+  q3_transcripts        — synthetic transcripts (~1M turns): shuffle-
+                          free clustered lag latency metric → digest by
+                          (role, hour) → p50/p99/p999 (the north_star
+                          job shape; window fallback tested equal)
   q4_lineitem_grouped   — digest by (returnflag, linestatus) + trimmed mean
 
 Throughput context (reference single-thread: ~140 ns/point add ⇒
@@ -30,7 +31,7 @@ from t_digest_spark.operators.extract import (  # noqa: E402
     quantiles_of, trimmed_mean_of,
 )
 from t_digest_spark.sources.tables import (  # noqa: E402
-    load_table, synth_transcripts, turn_metrics,
+    latency_digests_clustered, load_table, synth_transcripts,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,9 +68,13 @@ def _transcripts_path(spark):
 
 
 def q3_transcripts(spark):
+    # fused clustered lag + partial digests: the materialized
+    # transcripts are conv-clustered and (conv_id, turn_idx)-sorted
+    # within files, so the lag derives per scan partition and the raw
+    # rows cross Python exactly once (zero raw-row Exchange);
+    # equality with the window path is asserted in tests/test_spark_agg
     t = spark.read.parquet(_transcripts_path(spark))
-    m = turn_metrics(t).where(F.col("latency_s").isNotNull())
-    agg = tdigest_aggregate(m, "latency_s", ["role", "ts_hour"])
+    agg = latency_digests_clustered(t, ["role", "ts_hour"])
     rows = agg.select(
         "role", "ts_hour", "rows",
         quantiles_of("digest", [0.5, 0.99, 0.999]).alias("qs"),

@@ -324,6 +324,14 @@ class TDigest:
             # cluster start — precompute it vectorized once per merge so the
             # per-cluster loop below does only O(1) scalar + slice work
             cap2 = total * scale.max_size(csum / total, normalizer)
+            # all-singletons fast path (the dominant small-digest shape
+            # in high-cardinality grouped aggregation): extending any
+            # cluster needs w[s]+w[s+1] <= min(cap0, cap2[s+1]); if even
+            # the looser cap2-only test fails for every adjacent pair,
+            # the greedy sweep degenerates to one cluster per input —
+            # return it without the per-centroid Python loop
+            if n > 2 and not np.any(w[1:-1] + w[2:] <= cap2[2:]):
+                return np.arange(n, dtype=np.intp)
             while s < n - 1:
                 starts.append(s)
                 w_start = csum[s - 1]
@@ -345,6 +353,14 @@ class TDigest:
                 else:
                     s = s + 1 + bad
         else:
+            # same fast path for the k-limit sweep; here the pair test
+            # is exact (no min with a second cap): cluster at s absorbs
+            # s+1 iff csum[s+1] <= total*q(k(csum[s-1]/total)+1)
+            if n > 2:
+                w_lim = total * scale.q(
+                    scale.k(csum[:-2] / total, normalizer) + 1, normalizer)
+                if not np.any(csum[2:] <= w_lim):
+                    return np.arange(n, dtype=np.intp)
             k_py, q_py = scale.k_py, scale.q_py
             while s < n - 1:
                 starts.append(s)

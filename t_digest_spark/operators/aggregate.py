@@ -49,6 +49,7 @@ __all__ = [
     "tree_merge",
     "tdigest_aggregate",
     "tdigest_collect",
+    "DigestAccumulator",
     "DIGEST_FIELD",
 ]
 
@@ -90,105 +91,137 @@ def partial_digests(
     and group keys are dictionary-encoded by Arrow C kernels, so there
     is no pandas conversion and no per-row Python anywhere.
     """
-    import pyarrow as pa
-
     group_cols = list(group_cols)
     cols = group_cols + [value_col] + ([weight_col] if weight_col else [])
     narrow = df.select(*cols)  # column pruning reaches the scan
     out_schema = _digest_schema(narrow, group_cols)
     n_keys = len(group_cols)
+    has_weight = weight_col is not None
 
-    def build(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
-        import pyarrow.compute as pc
-
-        acc: dict[tuple, TDigest] = {}
-        counts: dict[tuple, int] = {}
-        key_schema: list = [None] * n_keys
+    def build(batches):
+        acc = DigestAccumulator(n_keys, group_cols, compression, scale,
+                                buffer_size, has_weight)
         for batch in batches:
-            values = batch.column(n_keys).to_numpy(zero_copy_only=False)
-            if weight_col:
-                weights = batch.column(n_keys + 1).to_numpy(
-                    zero_copy_only=False)
-            else:
-                weights = None
-            ok = ~np.isnan(values)  # aggregate ignores NULL/NaN inputs
-            if weights is not None:
-                ok &= ~np.isnan(weights) & (weights > 0)
-
-            if n_keys == 0:
-                v = values[ok] if not ok.all() else values
-                if v.size == 0:
-                    continue
-                d = acc.get(())
-                if d is None:
-                    d = TDigest(compression, buffer_size=buffer_size,
-                                scale=scale)
-                    acc[()] = d
-                    counts[()] = 0
-                d.add_batch(v, weights[ok] if weights is not None else None)
-                counts[()] += v.size
-                continue
-
-            # dictionary-encode each key column (C kernel), combine codes
-            dicts = []
-            combined = None
-            for i in range(n_keys):
-                col = batch.column(i)
-                key_schema[i] = batch.schema.field(i)
-                enc = pc.dictionary_encode(col)
-                codes = pc.fill_null(enc.indices, -1).to_numpy(
-                    zero_copy_only=False).astype(np.int64)
-                dicts.append(enc.dictionary)
-                card = len(enc.dictionary) + 1
-                combined = codes + 1 if combined is None \
-                    else combined * card + (codes + 1)
-            if not ok.all():
-                combined = np.where(ok, combined, -1)
-
-            order = np.argsort(combined, kind="stable")
-            sorted_codes = combined[order]
-            # group boundaries over the sorted codes
-            bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
-            starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [sorted_codes.size]))
-            sorted_values = values[order]
-            sorted_weights = weights[order] if weights is not None else None
-            for s, e in zip(starts, ends):
-                if sorted_codes[s] < 0:  # filtered-out rows bucket
-                    continue
-                row0 = order[s]
-                key = tuple(
-                    batch.column(i)[row0].as_py() for i in range(n_keys))
-                d = acc.get(key)
-                if d is None:
-                    d = TDigest(compression, buffer_size=buffer_size,
-                                scale=scale)
-                    acc[key] = d
-                    counts[key] = 0
-                d.add_batch(
-                    sorted_values[s:e],
-                    sorted_weights[s:e] if sorted_weights is not None
-                    else None)
-                counts[key] += e - s
-
-        if acc:
-            keys = list(acc.keys())
-            arrays = []
-            names = []
-            for i, c in enumerate(group_cols):
-                typ = key_schema[i].type if key_schema[i] is not None else None
-                arrays.append(pa.array([k[i] for k in keys], type=typ))
-                names.append(c)
-            arrays.append(pa.array(
-                [acc[k].to_bytes(compress=False) for k in keys],
-                type=pa.binary()))
-            names.append(DIGEST_FIELD)
-            arrays.append(pa.array([counts[k] for k in keys],
-                                   type=pa.int64()))
-            names.append("rows")
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            acc.update(batch)
+        out = acc.finish()
+        if out is not None:
+            yield out
 
     return narrow.mapInArrow(build, schema=out_schema)
+
+
+class DigestAccumulator:
+    """Per-partition digest accumulation over Arrow batches laid out as
+    (key_cols..., value[, weight]).
+
+    The stage-1 kernel shared by ``partial_digests`` and fused
+    operators (e.g. ``sources.tables.latency_digests_clustered``, which
+    derives its metric batch in the same Python pass): group keys are
+    dictionary-encoded by Arrow C kernels, values reach NumPy
+    zero-copy-ish, Python touches each *group* once per batch, never
+    each row."""
+
+    def __init__(self, n_keys: int, group_cols: Sequence[str],
+                 compression: float, scale: str, buffer_size: int,
+                 has_weight: bool = False):
+        self.n_keys = n_keys
+        self.group_cols = list(group_cols)
+        self.compression = compression
+        self.scale = scale
+        self.buffer_size = buffer_size
+        self.has_weight = has_weight
+        self.acc: dict[tuple, TDigest] = {}
+        self.counts: dict[tuple, int] = {}
+        self.key_schema: list = [None] * n_keys
+
+    def _digest(self, key: tuple) -> TDigest:
+        d = self.acc.get(key)
+        if d is None:
+            d = TDigest(self.compression, buffer_size=self.buffer_size,
+                        scale=self.scale)
+            self.acc[key] = d
+            self.counts[key] = 0
+        return d
+
+    def update(self, batch) -> None:
+        import pyarrow.compute as pc
+
+        n_keys = self.n_keys
+        values = batch.column(n_keys).to_numpy(zero_copy_only=False)
+        if self.has_weight:
+            weights = batch.column(n_keys + 1).to_numpy(
+                zero_copy_only=False)
+        else:
+            weights = None
+        ok = ~np.isnan(values)  # aggregate ignores NULL/NaN inputs
+        if weights is not None:
+            ok &= ~np.isnan(weights) & (weights > 0)
+
+        if n_keys == 0:
+            v = values[ok] if not ok.all() else values
+            if v.size == 0:
+                return
+            d = self._digest(())
+            d.add_batch(v, weights[ok] if weights is not None else None)
+            self.counts[()] += v.size
+            return
+
+        # dictionary-encode each key column (C kernel), combine codes
+        combined = None
+        for i in range(n_keys):
+            col = batch.column(i)
+            self.key_schema[i] = batch.schema.field(i)
+            enc = pc.dictionary_encode(col)
+            codes = pc.fill_null(enc.indices, -1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            card = len(enc.dictionary) + 1
+            combined = codes + 1 if combined is None \
+                else combined * card + (codes + 1)
+        if not ok.all():
+            combined = np.where(ok, combined, -1)
+
+        order = np.argsort(combined, kind="stable")
+        sorted_codes = combined[order]
+        # group boundaries over the sorted codes
+        bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [sorted_codes.size]))
+        sorted_values = values[order]
+        sorted_weights = weights[order] if weights is not None else None
+        for s, e in zip(starts, ends):
+            if sorted_codes[s] < 0:  # filtered-out rows bucket
+                continue
+            row0 = order[s]
+            key = tuple(
+                batch.column(i)[row0].as_py() for i in range(n_keys))
+            d = self._digest(key)
+            d.add_batch(
+                sorted_values[s:e],
+                sorted_weights[s:e] if sorted_weights is not None
+                else None)
+            self.counts[key] += e - s
+
+    def finish(self):
+        import pyarrow as pa
+
+        if not self.acc:
+            return None
+        keys = list(self.acc.keys())
+        arrays = []
+        names = []
+        for i, c in enumerate(self.group_cols):
+            typ = self.key_schema[i].type \
+                if self.key_schema[i] is not None else None
+            arrays.append(pa.array([k[i] for k in keys], type=typ))
+            names.append(c)
+        arrays.append(pa.array(
+            [self.acc[k].to_bytes(compress=False) for k in keys],
+            type=pa.binary()))
+        names.append(DIGEST_FIELD)
+        arrays.append(pa.array([self.counts[k] for k in keys],
+                               type=pa.int64()))
+        names.append("rows")
+        return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def _merge_fn(compression: float, scale: str, group_cols: Sequence[str],
@@ -288,16 +321,25 @@ def tdigest_aggregate(
     scale: str = "K_2",
     buffer_size: int = DEFAULT_BUFFER,
     weight_col: str | None = None,
-    tree: bool = False,
+    tree: bool | str = "auto",
     fanout: int = 64,
 ) -> DataFrame:
     """Full two-stage digest aggregation: one digest row per group.
 
     Equivalent to ``groupBy(keys).agg(tdigest(value))`` but with explicit
     map-side partials so only sketches shuffle.
+
+    ``tree``: ``True``/``False`` force the reduce shape; the default
+    ``"auto"`` switches to the two-level ``tree_merge`` when the input
+    has more than ~10^4 partitions — beyond that, a single reduce
+    task's fan-in (one partial digest per key per partition) dominates
+    the merge and the salted pre-reduce wins.  Accuracy is identical
+    for any split (AccuracyTest.java:131-151; tests/test_mega_merge.py).
     """
     partials = partial_digests(df, value_col, group_cols, compression,
                                scale, buffer_size, weight_col)
+    if tree == "auto":
+        tree = df.rdd.getNumPartitions() > 10_000
     if tree:
         return tree_merge(partials, group_cols, compression, scale, fanout)
     return merge_digests_df(partials, group_cols, compression, scale)

@@ -20,8 +20,8 @@ import numpy as np
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["brute_force_topk", "lsh_topk", "ivf_build", "ivf_topk",
-           "cosine_to_query"]
+__all__ = ["brute_force_topk", "brute_force_topk_batch", "lsh_topk",
+           "ivf_build", "ivf_topk", "ivf_topk_batch", "cosine_to_query"]
 
 
 def _dot_with_literal(vec_col, query: np.ndarray):
@@ -134,3 +134,67 @@ def ivf_topk(indexed: DataFrame, centroids: np.ndarray, query,
     order = np.argsort(-(centroids @ qn))[:nprobe]
     hit = indexed.where(F.col("__list").isin(*[int(i) for i in order]))
     return brute_force_topk(hit, query, k, vec_col, id_col)
+
+
+def brute_force_topk_batch(df: DataFrame, queries: DataFrame, k: int = 10,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           qid_col: str = "query_id",
+                           qvec_col: str = "query_vec") -> DataFrame:
+    """Exact cosine top-k for MANY query vectors in ONE job.
+
+    ``queries`` is a small (query_id, query_vec) table, broadcast; the
+    scored rows rank per query via a window over query_id — one scan of
+    ``df`` regardless of query count, instead of one job per query.
+    Deterministic tiebreak by id.
+    """
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"),
+                   F.col(qvec_col).cast("array<double>"),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = df.crossJoin(F.broadcast(queries)).select(
+        F.col(qid_col), F.col(id_col),
+        (dot / (_norm(vec_col) * _norm(qvec_col))).alias("cosine"))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select(qid_col, id_col, "cosine", F.col("__rn").alias("rank")))
+
+
+def ivf_topk_batch(indexed: DataFrame, centroids: np.ndarray,
+                   queries: DataFrame, k: int = 10, nprobe: int = 4,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   qid_col: str = "query_id",
+                   qvec_col: str = "query_vec") -> DataFrame:
+    """IVF top-k for MANY queries in ONE job.
+
+    Builds the (query_id, probed list_id) table driver-side (tiny:
+    #queries x nprobe rows from the broadcast centroid matrix), joins
+    it against the indexed rows on ``__list`` — so each query only
+    scores rows in its probed inverted lists — then ranks per query.
+    """
+    spark = indexed.sparkSession
+    qrows = queries.collect()  # bounded: the query set is small by contract
+    probe_rows = []
+    for r in qrows:
+        q = np.asarray(r[qvec_col], dtype=np.float64)
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        for li in np.argsort(-(centroids @ qn))[:nprobe]:
+            probe_rows.append((r[qid_col], int(li)))
+    probes = spark.createDataFrame(probe_rows, f"{qid_col} long, __list int")
+    hit = indexed.join(F.broadcast(probes), "__list")
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"),
+                   F.col(qvec_col).cast("array<double>"),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = hit.join(F.broadcast(queries), qid_col).select(
+        F.col(qid_col), F.col(id_col),
+        (dot / (_norm(vec_col) * _norm(qvec_col))).alias("cosine"))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select(qid_col, id_col, "cosine", F.col("__rn").alias("rank")))

@@ -34,8 +34,10 @@ def recommended_confs(cores: int = 32) -> dict[str, str]:
         # disable the per-row O(n^2) Arrow batch size accounting
         "spark.sql.execution.arrow.maxBytesPerBatch": "2147483647",
         # bigger Arrow batches amortize per-group costs in high-cardinality
-        # groupings (safe once the per-row size check above is off)
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
+        # groupings (safe once the per-row size check above is off);
+        # 262144 measured ~15% faster than 131072 on the flagship fused
+        # job at 16 cores with no 4-core regression
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "262144",
         # preloaded-fork python workers
         "spark.python.daemon.module": "t_digest_spark.daemon",
         "spark.python.worker.reuse": "true",

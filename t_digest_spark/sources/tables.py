@@ -29,7 +29,8 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["TABLES", "load_table", "load_all", "synth_transcripts",
-           "turn_metrics", "TRANSCRIPT_SCHEMA"]
+           "turn_metrics", "turn_metrics_clustered",
+           "latency_digests_clustered", "TRANSCRIPT_SCHEMA"]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -154,3 +155,211 @@ def turn_metrics(transcripts: DataFrame) -> DataFrame:
         .withColumn("latency_s", ts_s - F.lag(ts_s).over(w))
         .withColumn("ts_hour", F.date_trunc("hour", "ts"))
     )
+
+
+def turn_metrics_clustered(transcripts: DataFrame) -> DataFrame:
+    """Shuffle-free ``turn_metrics`` for conv-clustered inputs.
+
+    ``turn_metrics``'s window lag forces one full raw-row Exchange by
+    conv_id — semantically required on unclustered data, but at
+    10^12-turn scale it is the dominant cost (docs/PLANS.md).  When the
+    table is stored clustered by conv_id and sorted by
+    (conv_id, turn_idx) within each file — the natural Iceberg sort
+    order for transcript tables — the lag can be derived entirely
+    within scan partitions via ``mapInArrow``: zero Exchange below the
+    aggregation, and the whole scan→metrics→partial-digest pipeline is
+    one stage.
+
+    Input contract, verified vectorized per batch (violations raise, so
+    a mis-clustered input fails loudly and the caller falls back to
+    ``turn_metrics``):
+
+    * rows sorted by (conv_id, turn_idx) within every partition;
+    * conversations never span partition boundaries — detected by the
+      first row of each partition having ``turn_idx == 0`` (a parquet
+      file split mid-conversation starts at a later turn).  Packing
+      multiple whole files into one partition is fine; splitting one
+      file across partitions is not — size
+      ``spark.sql.files.maxPartitionBytes`` above the file size.
+
+    Latency arithmetic is bit-identical to the window path: both sides
+    compute ``double(us/1e6)`` per timestamp, then subtract
+    (tests/test_sources.py asserts exact equality).  Per-turn text
+    passes through untouched (text-equality invariant).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql.types import DoubleType
+
+    in_schema = transcripts.schema
+    # Catalyst can't prune columns through mapInArrow, so callers
+    # digesting only latency should .select() the needed columns first;
+    # text_len is derived only when text survives that pruning.
+    has_text = "text" in in_schema.fieldNames()
+    out_schema = StructType(
+        list(in_schema.fields)
+        + ([StructField("text_len", DoubleType(), True)] if has_text else [])
+        + [StructField("latency_s", DoubleType(), True),
+           StructField("ts_hour", in_schema["ts"].dataType, True)])
+
+    def part(batches):
+        prev_conv = None   # last conv_id of the previous batch
+        prev_sec = 0.0     # its ts, in seconds
+        prev_turn = 0
+        first_batch = True
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            names = b.schema.names
+            conv = b.column(names.index("conv_id"))
+            turn = b.column(names.index("turn_idx"))
+            ts = b.column(names.index("ts"))
+            us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            # same double arithmetic as the window path: cast-to-double
+            # per timestamp, then subtract
+            sec = us / 1e6
+            turn_np = turn.to_numpy(zero_copy_only=False)
+            if first_batch:
+                if turn_np[0] != 0:
+                    raise ValueError(
+                        "turn_metrics_clustered: partition begins mid-"
+                        "conversation (turn_idx=%d) — the input is not "
+                        "conv-clustered at file granularity; raise "
+                        "spark.sql.files.maxPartitionBytes or use "
+                        "turn_metrics()" % turn_np[0])
+                first_batch = False
+            same = pc.equal(conv.slice(1), conv.slice(0, n - 1)) \
+                .to_numpy(zero_copy_only=False)
+            bad = same & (turn_np[1:] <= turn_np[:-1])
+            head_same = prev_conv is not None and \
+                conv[0].as_py() == prev_conv
+            if bad.any() or (head_same and turn_np[0] <= prev_turn):
+                raise ValueError(
+                    "turn_metrics_clustered: rows are not sorted "
+                    "(conv_id, turn_idx) within the partition — use "
+                    "turn_metrics()")
+            lat = np.empty(n)
+            lat[1:] = np.where(same, sec[1:] - sec[:-1], np.nan)
+            lat[0] = sec[0] - prev_sec if head_same else np.nan
+            prev_conv = conv[n - 1].as_py()
+            prev_sec = sec[n - 1]
+            prev_turn = int(turn_np[n - 1])
+            derived, dfields = [], []
+            if has_text:
+                derived.append(pc.cast(
+                    pc.utf8_length(b.column(names.index("text"))),
+                    pa.float64()))
+                dfields.append(pa.field("text_len", pa.float64()))
+            derived.append(
+                pa.array(lat, type=pa.float64(), from_pandas=True))
+            dfields.append(pa.field("latency_s", pa.float64()))
+            derived.append(pc.floor_temporal(ts, unit="hour"))
+            dfields.append(pa.field("ts_hour", ts.type))
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + derived,
+                schema=pa.schema(list(b.schema) + dfields))
+
+    return transcripts.mapInArrow(part, schema=out_schema)
+
+
+def latency_digests_clustered(transcripts: DataFrame,
+                              group_cols=("role", "ts_hour"),
+                              compression: float = 100.0,
+                              scale: str = "K_2",
+                              buffer_size: int | None = None) -> DataFrame:
+    """Fused scale path for the flagship latency job: derive the
+    inter-turn latency (shuffle-free clustered lag, same contract and
+    guards as ``turn_metrics_clustered``) AND build the per-partition
+    partial digests in the SAME ``mapInArrow`` pass, then merge.
+
+    Equivalent output to
+    ``tdigest_aggregate(turn_metrics_clustered(df).where(latency
+    notNull), "latency_s", group_cols)`` but raw rows cross the
+    JVM/Python boundary ONCE (scan → fused lag+digest kernel), and
+    nothing except ~1 KB digest rows per (partition, key) ever comes
+    back — at 10^12 turns the job is a single scan-shaped stage plus
+    one sketch-row Exchange.  ``group_cols`` may use ``role``,
+    ``tool`` and the derived ``ts_hour``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..operators.aggregate import (
+        DEFAULT_BUFFER, DIGEST_FIELD, DigestAccumulator, merge_digests_df,
+    )
+    from pyspark.sql.types import BinaryType, LongType
+
+    group_cols = list(group_cols)
+    if buffer_size is None:
+        buffer_size = DEFAULT_BUFFER
+    in_schema = transcripts.schema
+    need = {"conv_id", "turn_idx", "ts"} | {
+        c for c in group_cols if c != "ts_hour"}
+    narrow = transcripts.select(*[f.name for f in in_schema.fields
+                                  if f.name in need])
+    out_schema = StructType(
+        [StructField(c, in_schema["ts"].dataType if c == "ts_hour"
+                     else in_schema[c].dataType, True) for c in group_cols]
+        + [StructField(DIGEST_FIELD, BinaryType(), False),
+           StructField("rows", LongType(), False)])
+
+    def fused(batches):
+        acc = DigestAccumulator(len(group_cols), group_cols, compression,
+                                scale, buffer_size, has_weight=False)
+        prev_conv = None
+        prev_sec = 0.0
+        prev_turn = 0
+        first_batch = True
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            names = b.schema.names
+            conv = b.column(names.index("conv_id"))
+            turn = b.column(names.index("turn_idx"))
+            ts = b.column(names.index("ts"))
+            us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            sec = us / 1e6
+            turn_np = turn.to_numpy(zero_copy_only=False)
+            if first_batch:
+                if turn_np[0] != 0:
+                    raise ValueError(
+                        "latency_digests_clustered: partition begins mid-"
+                        "conversation (turn_idx=%d) — input is not conv-"
+                        "clustered at file granularity; raise spark.sql."
+                        "files.maxPartitionBytes or use the window path"
+                        % turn_np[0])
+                first_batch = False
+            same = pc.equal(conv.slice(1), conv.slice(0, n - 1)) \
+                .to_numpy(zero_copy_only=False)
+            bad = same & (turn_np[1:] <= turn_np[:-1])
+            head_same = prev_conv is not None and \
+                conv[0].as_py() == prev_conv
+            if bad.any() or (head_same and turn_np[0] <= prev_turn):
+                raise ValueError(
+                    "latency_digests_clustered: rows are not sorted "
+                    "(conv_id, turn_idx) within the partition — use the "
+                    "window path")
+            lat = np.empty(n)
+            lat[1:] = np.where(same, sec[1:] - sec[:-1], np.nan)
+            lat[0] = sec[0] - prev_sec if head_same else np.nan
+            prev_conv = conv[n - 1].as_py()
+            prev_sec = sec[n - 1]
+            prev_turn = int(turn_np[n - 1])
+            keys = []
+            for c in group_cols:
+                if c == "ts_hour":
+                    keys.append(pc.floor_temporal(ts, unit="hour"))
+                else:
+                    keys.append(b.column(names.index(c)))
+            acc.update(pa.RecordBatch.from_arrays(
+                keys + [pa.array(lat, type=pa.float64())],
+                names=group_cols + ["__v"]))
+        out = acc.finish()
+        if out is not None:
+            yield out
+
+    partials = narrow.mapInArrow(fused, schema=out_schema)
+    return merge_digests_df(partials, group_cols, compression, scale)

@@ -196,3 +196,23 @@ def test_cdfs_vectorized_matches_scalar():
         vec = d.cdfs(probes)
         for x, v in zip(probes, vec):
             assert v == d.cdf(float(x)), (data[:3], x, v, d.cdf(float(x)))
+
+
+def test_k1_fast_tolerance_parity():
+    """Reference parity for the K_1_FAST alias (ScaleFunctionTests.java:
+    211-226): the reference's fastAsin must stay within 1e-6 of asin
+    over [-1, 1].  Our K_1_FAST delegates to np.arcsin (exact to ulp),
+    so the same bound holds with error 0 — asserted here against K_1
+    across the full q range and both directions, plus round-trip."""
+    from t_digest_spark.scale import K_1, K_1_FAST
+
+    q = np.linspace(1e-12, 1 - 1e-12, 20001)
+    norm = 50.0
+    k_fast = K_1_FAST.k(q, norm)
+    k_ref = K_1.k(q, norm)
+    assert np.max(np.abs(k_fast - k_ref)) <= 1e-6 * norm  # ref tolerance
+    assert np.array_equal(k_fast, k_ref)                  # ours: exact
+    ks = np.linspace(-norm * np.pi / 2, norm * np.pi / 2, 20001)
+    assert np.array_equal(K_1_FAST.q(ks, norm), K_1.q(ks, norm))
+    # round-trip through the fast variant stays within the reference bar
+    assert np.max(np.abs(K_1_FAST.q(k_fast, norm) - q)) < 1e-9

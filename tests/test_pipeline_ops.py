@@ -299,3 +299,57 @@ def test_frame_sample(spark):
         assert len(ts) <= 4
         assert sorted(ts) == ts or sorted(ts) == sorted(ts)
         assert all(t % 1000 == 0 for t in ts)
+
+
+def test_embedding_cosine_pairs_multiband_recall(spark):
+    # 30 base vectors, each with a slightly-perturbed twin at cosine
+    # ~0.9999: with 4 bands x 16 planes every twin pair must surface
+    # (per-pair miss probability ~1e-8); unrelated pairs are filtered
+    # by the exact-cosine verify
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(30):
+        v = rng.normal(size=32)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in v + rng.normal(
+            scale=0.003, size=32)]))
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b) for r in embedding_cosine_pairs(
+        sdf, threshold=0.99, n_planes=16, n_bands=4).collect()}
+    assert got == {(i, 1000 + i) for i in range(30)}
+
+
+def test_brute_force_topk_batch_matches_single(embeddings):
+    from t_digest_spark.operators.similarity import brute_force_topk_batch
+
+    qdf = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    batch = brute_force_topk_batch(embeddings, qdf, k=5).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for r in embeddings.where(F.col("vec_id") < 3).collect():
+        single = brute_force_topk(embeddings, r.embedding, k=5).collect()
+        got = sorted(by_q[r.vec_id], key=lambda x: x.rank)
+        assert [x.vec_id for x in got] == [x.vec_id for x in single]
+
+
+def test_ivf_topk_batch_recall(embeddings):
+    from t_digest_spark.operators.similarity import (
+        brute_force_topk_batch, ivf_build, ivf_topk_batch,
+    )
+
+    qdf = embeddings.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    indexed, cents = ivf_build(embeddings, n_lists=8)
+    approx = ivf_topk_batch(indexed, cents, qdf, k=10, nprobe=4)
+    exact = brute_force_topk_batch(embeddings, qdf, k=10)
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    for qid in range(8):
+        hit = len({p for p in a if p[0] == qid} &
+                  {p for p in e if p[0] == qid})
+        assert hit >= 5, (qid, hit)   # half the lists probed

@@ -268,3 +268,118 @@ def test_sql_registered_functions(spark, events, exact_by_type):
         assert r.n == data.size
         assert abs(dist_cdf(r.p50, data) - 0.5) < 0.015
         assert r.c50 == pytest.approx(dist_cdf(50.0, data), abs=0.015)
+
+
+# ---------------------------------------------------------------------
+# clustered (shuffle-free) lag path vs the window path
+# ---------------------------------------------------------------------
+
+def test_turn_metrics_clustered_equals_window(spark, tmp_path):
+    from t_digest_spark.sources.tables import turn_metrics_clustered
+
+    path = str(tmp_path / "transcripts.parquet")
+    synth_transcripts(spark, n_convs=400, seed=11, partitions=4) \
+        .write.parquet(path)
+    t = spark.read.parquet(path)
+    cols = ["conv_id", "turn_idx", "text_len", "latency_s", "ts_hour"]
+    a = turn_metrics(t).select(cols) \
+        .orderBy("conv_id", "turn_idx").collect()
+    b = turn_metrics_clustered(t).select(cols) \
+        .orderBy("conv_id", "turn_idx").collect()
+    assert len(a) == len(b) > 1000
+    for ra, rb in zip(a, b):
+        # bit-identical latency: both paths do double(us/1e6) then subtract
+        assert ra == rb, (ra, rb)
+
+
+def test_turn_metrics_clustered_rejects_unsorted(spark):
+    from t_digest_spark.sources.tables import turn_metrics_clustered
+
+    rows = [("c1", 0, "user", "a", None, "2026-01-01 00:00:00"),
+            ("c1", 2, "user", "b", None, "2026-01-01 00:00:02"),
+            ("c1", 1, "user", "c", None, "2026-01-01 00:00:01")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts_str string") \
+        .withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str") \
+        .coalesce(1)
+    with pytest.raises(Exception, match="not sorted"):
+        turn_metrics_clustered(df).collect()
+
+
+def test_turn_metrics_clustered_rejects_split_conversation(spark):
+    from t_digest_spark.sources.tables import turn_metrics_clustered
+
+    rows = [("c1", 3, "user", "a", None, "2026-01-01 00:00:03"),
+            ("c1", 4, "user", "b", None, "2026-01-01 00:00:04")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts_str string") \
+        .withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str") \
+        .coalesce(1)
+    with pytest.raises(Exception, match="mid-conversation"):
+        turn_metrics_clustered(df).collect()
+
+
+def test_turn_metrics_clustered_digest_equality(spark, tmp_path):
+    # end-to-end: digests built from the clustered path match digests
+    # built from the window path, group by group
+    from t_digest_spark.sources.tables import turn_metrics_clustered
+
+    path = str(tmp_path / "transcripts2.parquet")
+    synth_transcripts(spark, n_convs=300, seed=5, partitions=4,
+                      with_text=False).write.parquet(path)
+    t = spark.read.parquet(path)
+
+    def digests(m):
+        agg = tdigest_aggregate(
+            m.where(F.col("latency_s").isNotNull()), "latency_s", ["role"])
+        return {r.role: TDigest.from_bytes(bytes(r.digest)) for r in
+                agg.collect()}
+
+    da = digests(turn_metrics(t))
+    db = digests(turn_metrics_clustered(t))
+    assert set(da) == set(db)
+    for role in da:
+        assert da[role].size == db[role].size
+        assert da[role].min == db[role].min
+        assert da[role].max == db[role].max
+        # the input rows are bit-identical (asserted exactly above);
+        # residual quantile differences are merge-order effects of the
+        # different partitionings, bounded by the digest's own accuracy
+        for q in (0.1, 0.5, 0.9, 0.99):
+            assert da[role].cdf(db[role].quantile(q)) == pytest.approx(
+                q, abs=0.02)
+            assert db[role].cdf(da[role].quantile(q)) == pytest.approx(
+                q, abs=0.02)
+
+
+def test_latency_digests_clustered_fused_equals_two_pass(spark, tmp_path):
+    # the fused one-pass kernel (lag + partial digests in one
+    # mapInArrow) must produce byte-identical digests to the two-pass
+    # clustered path over the same scan partitioning
+    from t_digest_spark.sources.tables import (
+        latency_digests_clustered, turn_metrics_clustered,
+    )
+
+    path = str(tmp_path / "transcripts3.parquet")
+    synth_transcripts(spark, n_convs=300, seed=8, partitions=4,
+                      with_text=False).write.parquet(path)
+    t = spark.read.parquet(path)
+    fused = {(r.role, r.ts_hour): (bytes(r.digest), r.rows)
+             for r in latency_digests_clustered(t, ["role", "ts_hour"])
+             .collect()}
+    m = turn_metrics_clustered(t).where(F.col("latency_s").isNotNull())
+    two = {(r.role, r.ts_hour): (bytes(r.digest), r.rows)
+           for r in tdigest_aggregate(m, "latency_s", ["role", "ts_hour"])
+           .collect()}
+    assert set(fused) == set(two)
+    for k in two:
+        assert fused[k][1] == two[k][1], k          # exact row counts
+        da = TDigest.from_bytes(fused[k][0])
+        db = TDigest.from_bytes(two[k][0])
+        assert da.size == db.size
+        assert da.min == db.min and da.max == db.max
+        if da.size >= 100:  # midpoint-rule steps dominate tiny groups
+            for q in (0.1, 0.5, 0.9, 0.99):
+                assert da.cdf(db.quantile(q)) == pytest.approx(q, abs=0.02)

@@ -68,30 +68,35 @@ def calibrate() -> dict:
 def run_one(cpus: int, path: str, reps: int) -> dict:
     from pyspark.sql import functions as F
 
-    from t_digest_spark.operators.aggregate import tdigest_aggregate
     from t_digest_spark.operators.extract import quantiles_of
     from t_digest_spark.session import build_session
-    from t_digest_spark.sources.tables import turn_metrics
+    from t_digest_spark.sources.tables import latency_digests_clustered
 
     spark = build_session(
         f"local[{cpus}]", cpus, app_name=f"scaling-{cpus}",
         **{"spark.driver.memory": "40g", "spark.ui.enabled": "false",
            "spark.sql.shuffle.partitions": str(SHUFFLE_PARTITIONS),
+           # one whole file per scan partition: never split a file
+           # (clustered-lag contract) and never pack several into one
+           # task — 256 equal tasks balance both core counts
+           "spark.sql.files.openCostInBytes": str(128 << 20),
            # tmpfs shuffle dirs: the sandbox disk shows multi-x run-to-run
            # variance from writeback stalls; RAM-backed local dirs make
            # the measurement about compute, not the VM's block device
-           "spark.local.dir": "/dev/shm/spark-local",
-           # ParallelGC: G1's concurrent threads/write barriers cost the
-           # fully-loaded 16-core leg ~30-50% (measured 36-49s -> 29-32s)
-           # while the 4-core leg is unchanged — classic G1 overhead
-           # under full CPU subscription
-           "spark.driver.extraJavaOptions": "-XX:+UseParallelGC -Xmn12g"})
+           "spark.local.dir": "/dev/shm/spark-local"})
+    # NOTE round 2: the round-1 ParallelGC -Xmn12g tuning is GONE — with
+    # the fused one-pass kernel it was measured 5x slower on the pure
+    # scan phase at 16 cores (12 GB young-gen copies with default GC
+    # thread count on an oversubscribed VM); default G1 wins on the
+    # full job at both core counts now that the python kernel dominates
     spark.sparkContext.setLogLevel("ERROR")
 
     def job():
+        # fused clustered lag + partial digests (materialized input is
+        # conv-clustered, sorted within files): raw rows cross Python
+        # ONCE; only ~1 KB digest rows cross the single Exchange
         t = spark.read.parquet(path)
-        m = turn_metrics(t).where(F.col("latency_s").isNotNull())
-        agg = tdigest_aggregate(m, "latency_s", ["role", "ts_hour"])
+        agg = latency_digests_clustered(t, ["role", "ts_hour"])
         rows = agg.select(
             "role", "ts_hour", "rows",
             quantiles_of("digest", [0.5, 0.99, 0.999]).alias("qs"),
@@ -186,8 +191,8 @@ def main():
     thr_hi = results[hi]["rows_per_sec"]
     eff = med_ratio / (hi / lo)
     summary = {
-        "job": "transcripts latency window-lag + t-digest by (role, ts_hour) "
-               "+ p50/p99/p999 extract",
+        "job": "transcripts latency clustered shuffle-free lag + t-digest "
+               "by (role, ts_hour) + p50/p99/p999 extract",
         "input_rows": results[hi]["rows"],
         "levels": list(LEVELS),
         f"local{lo}": results[lo],
@@ -235,10 +240,12 @@ beyond ~16 runnable threads the VM stops adding throughput, which is
 why the levels are {lo}/{hi}.)  The job reaches
 {summary['efficiency_vs_ceiling']:.0%} of the hardware ceiling.
 
-Job: read parquet -> window lag latency per (conv_id, turn_idx) ->
-two-stage mergeable t-digest aggregate by (role, ts_hour) ->
-p50/p99/p999 extraction.  Raw rows shuffle once (window); digests
-(~1 KB) are the only aggregation shuffle payload.
+Job: read parquet -> shuffle-free clustered lag latency per
+(conv_id, turn_idx) via mapInArrow (input is conv-clustered and
+sorted within files; window fallback tested bit-equal) -> two-stage
+mergeable t-digest aggregate by (role, ts_hour) -> p50/p99/p999
+extraction.  Raw rows NEVER shuffle; digests (~1 KB) are the only
+shuffle payload in the whole job.
 
 ## Reference throughput context
 

@@ -81,6 +81,31 @@ def main() -> None:
     checks.append(("window sort present exactly once",
                    p2.count("Window") >= 1))
 
+    # 2b. clustered shuffle-free lag: the scale path — no Window, no
+    # raw-row Exchange; the single Exchange carries only digest rows
+    from t_digest_spark.sources.tables import (
+        synth_transcripts, turn_metrics_clustered,
+    )
+    tpath = "/tmp/plan_check_transcripts.parquet"
+    if not os.path.exists(os.path.join(tpath, "_SUCCESS")):
+        synth_transcripts(spark, n_convs=2000, seed=42, partitions=4,
+                          with_text=False).write.mode("overwrite") \
+            .parquet(tpath)
+    t2b = spark.read.parquet(tpath).select(
+        "conv_id", "turn_idx", "role", "ts")
+    m2b = turn_metrics_clustered(t2b).where(F.col("latency_s").isNotNull())
+    q2b = tdigest_aggregate(m2b, "latency_s", ["role", "ts_hour"])
+    p2b = plan_of(q2b)
+    sections.append(("Clustered shuffle-free lag → grouped digest "
+                     "(conv-clustered input)", p2b))
+    n_ex_2b = len(re.findall(r"^\(\d+\) Exchange", p2b, re.M))
+    checks.append(("clustered lag: no Window operator",
+                   "Window" not in p2b))
+    checks.append(("clustered lag: exactly one Exchange and it is above "
+                   "both MapInArrow nodes (raw rows never shuffle)",
+                   n_ex_2b == 1
+                   and p2b.index("MapInArrow") > p2b.index("Exchange")))
+
     # 3. brute-force ANN: JVM-only expression + TakeOrdered
     emb = load_table(spark, SF_DIR, "embeddings")
     qv = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
