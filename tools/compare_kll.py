@@ -79,7 +79,7 @@ def main() -> None:
         md.append(f"\n## {name}\n")
         for delta in DELTAS:
             td = TDigest(float(delta))
-            td.add(data)
+            td.add_batch(data)
             td_bytes = len(td.to_bytes())
             kll = tune_kll_k(data, td_bytes)
             kll_bytes = len(kll.to_bytes())
