@@ -29,7 +29,8 @@ from ..core import TDigest, merge_digests
 from ..operators.aggregate import DIGEST_FIELD, merge_digests_df, \
     partial_digests
 
-__all__ = ["stream_digests", "windowed_digest_query", "read_digest_state"]
+__all__ = ["stream_digests", "windowed_digest_query", "read_digest_state",
+           "stateful_digest_stream"]
 
 
 def _state_versions(state_dir: str) -> list[str]:
@@ -146,3 +147,72 @@ def windowed_digest_query(
     return stream_digests(
         bucketed, value_col, list(group_cols) + ["window_start"],
         state_dir, checkpoint_dir, compression, **kwargs)
+
+
+def stateful_digest_stream(
+    stream_df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    compression: float = 100.0,
+    scale: str = "K_2",
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the Structured Streaming-native alternative to the foreachBatch
+    fold): per group key, the state IS the serialized digest — each
+    micro-batch's values merge into it and the updated (key, digest,
+    rows, p50/p99) row is emitted downstream.
+
+    Complements ``stream_digests``: state lives in Spark's own state
+    store (RocksDB/HDFS-backed on a real cluster, checkpointed and
+    recoverable with exactly-once semantics), instead of an external
+    parquet dir — use this when the stream continues with further
+    Spark operators; use ``stream_digests`` when external readers poll
+    the state between batches.
+
+    Returns the transformed streaming DataFrame (caller attaches the
+    sink):
+
+        out = stateful_digest_stream(stream, "latency_s", ["role"])
+        out.writeStream.format("memory")...start()
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    group_cols = list(group_cols)
+    in_schema = stream_df.schema
+    key_ddl = ", ".join(
+        f"{c} {in_schema[c].dataType.simpleString()}" for c in group_cols)
+    out_type = (f"{key_ddl}, {DIGEST_FIELD} binary, rows long, "
+                "p50 double, p99 double")
+    state_type = f"{DIGEST_FIELD} binary, rows long"
+
+    def update(key, pdf_iter, state):
+        import numpy as np
+
+        d = TDigest(compression, scale=scale)
+        rows = 0
+        if state.exists:
+            blob, rows = state.get
+            d = merge_digests([d, TDigest.from_bytes(bytes(blob),
+                                                     scale=scale)],
+                              compression=compression, scale=scale)
+        for pdf in pdf_iter:
+            vals = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
+            vals = vals[~np.isnan(vals)]
+            if vals.size:
+                d.add_batch(vals)
+                rows += int(vals.size)
+        blob = d.to_bytes()
+        state.update((bytearray(blob), rows))
+        out = {c: [k] for c, k in zip(group_cols, key)}
+        out[DIGEST_FIELD] = [bytearray(blob)]
+        out["rows"] = [rows]
+        out["p50"] = [d.quantile(0.5) if d.size else float("nan")]
+        out["p99"] = [d.quantile(0.99) if d.size else float("nan")]
+        yield pd.DataFrame(out)
+
+    return (stream_df.groupBy(*group_cols)
+            .applyInPandasWithState(
+                update, out_type, state_type, "update",
+                GroupStateTimeout.NoTimeout))

@@ -6,6 +6,7 @@ import shutil
 import time
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from pyspark.sql import functions as F
@@ -215,3 +216,56 @@ def test_streaming_digests(spark, workdir):
     assert d.size == data.size == 5000
     for qq in (0.1, 0.5, 0.9):
         assert abs(dist_cdf(d.quantile(qq), data) - qq) < 0.02
+
+
+def test_stateful_digest_stream(spark, workdir):
+    # applyInPandasWithState path: state lives in Spark's state store;
+    # two micro-batches fold into one digest per key, exact vs raw data
+    import numpy as np
+
+    from t_digest_spark.streaming.digest_stream import (
+        stateful_digest_stream,
+    )
+
+    src = os.path.join(workdir, "src2")
+    ckpt = os.path.join(workdir, "ckpt2")
+    os.makedirs(src, exist_ok=True)
+    rng = np.random.default_rng(3)
+    all_vals = {}
+
+    def drop(n, batch):
+        vals = rng.gamma(2.0, 3.0, size=n)
+        g = ["a" if i % 2 == 0 else "b" for i in range(n)]
+        for gg, v in zip(g, vals):
+            all_vals.setdefault(gg, []).append(float(v))
+        pdf = pd.DataFrame({"g": g, "v": vals})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append") \
+            .parquet(src)
+
+    drop(2000, 0)
+    stream = (spark.readStream.schema("g string, v double").parquet(src))
+    out = stateful_digest_stream(stream, "v", ["g"])
+    q = (out.writeStream.queryName("stateful_digest")
+         .option("checkpointLocation", ckpt)
+         .outputMode("update").format("memory").start())
+    try:
+        q.processAllAvailable()
+        drop(3000, 1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("select * from stateful_digest").collect()
+    # memory sink in update mode appends updated rows per batch; take
+    # the LAST emission per key
+    latest = {}
+    for r in rows:
+        latest[r.g] = r
+    assert set(latest) == {"a", "b"}
+    for g, r in latest.items():
+        d = TDigest.from_bytes(bytes(r.digest))
+        data = np.sort(np.asarray(all_vals[g]))
+        assert d.size == data.size == r.rows
+        assert r.p50 == pytest.approx(d.quantile(0.5))
+        for qq in (0.1, 0.5, 0.9):
+            assert abs(dist_cdf(d.quantile(qq), data) - qq) < 0.02
