@@ -555,8 +555,27 @@ def _q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) derived purely by digest
+    merging (operators/rollup.py tdigest_cube — 2^k grouping sets, no
+    input rescans) — exact stats at every grouping set match SQL
+    GROUP BY CUBE."""
+    from t_digest_spark.operators.rollup import tdigest_cube
+    li = load_table(spark, sf_dir, "lineitem")
+    cubed = tdigest_cube(li, "l_quantity",
+                         ["l_returnflag", "l_linestatus"])
+    s = digest_stats("digest")
+    return cubed.select(
+        "l_returnflag", "l_linestatus",
+        s.getField("n").alias("n_values"),
+        s.getField("min").alias("min_qty"),
+        s.getField("max").alias("max_qty"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_stats": _q_rollup_stats,
+    "cube_stats": _q_cube_stats,
     "kll_median_smalln": _q_kll_median_smalln,
     "kll_quantiles_events": _q_kll_quantiles_events,
     "drift_scores": _q_drift_scores,
@@ -658,6 +677,14 @@ ORACLES: dict[str, str] = {
                MAX(l_quantity) AS max_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_stats": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(l_quantity) AS DOUBLE) AS n_values,
+               MIN(l_quantity) AS min_qty,
+               MAX(l_quantity) AS max_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     "kll_median_smalln": """
         WITH ranked AS (

@@ -30,7 +30,8 @@ from pyspark.sql.types import (
 
 __all__ = ["TABLES", "load_table", "load_all", "synth_transcripts",
            "turn_metrics", "turn_metrics_clustered",
-           "latency_digests_clustered", "TRANSCRIPT_SCHEMA"]
+           "latency_digests_clustered", "turn_digests_clustered",
+           "TRANSCRIPT_SCHEMA"]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -157,6 +158,65 @@ def turn_metrics(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def _clustered_lag(batches):
+    """Shared kernel of the clustered-lag operators: yield
+    ``(batch, lat)`` per non-empty Arrow batch, where ``lat`` is the
+    inter-turn latency (float64, NaN at conversation starts) with
+    cross-batch carry, enforcing the conv-clustered contract:
+
+    * partition must start at ``turn_idx == 0`` (a parquet file split
+      mid-conversation starts later — loud failure, caller falls back
+      to the window path);
+    * rows sorted by (conv_id, turn_idx) within the partition.
+
+    Latency arithmetic is bit-identical to the window path: both
+    compute ``double(us/1e6)`` per timestamp, then subtract.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    prev_conv = None   # last conv_id of the previous batch
+    prev_sec = 0.0     # its ts, in seconds
+    prev_turn = 0
+    first_batch = True
+    for b in batches:
+        n = b.num_rows
+        if n == 0:
+            continue
+        names = b.schema.names
+        conv = b.column(names.index("conv_id"))
+        turn = b.column(names.index("turn_idx"))
+        ts = b.column(names.index("ts"))
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sec = us / 1e6
+        turn_np = turn.to_numpy(zero_copy_only=False)
+        if first_batch:
+            if turn_np[0] != 0:
+                raise ValueError(
+                    "clustered lag: partition begins mid-conversation "
+                    "(turn_idx=%d) — the input is not conv-clustered "
+                    "at file granularity; raise spark.sql.files."
+                    "maxPartitionBytes or use the window path "
+                    "(turn_metrics)" % turn_np[0])
+            first_batch = False
+        same = pc.equal(conv.slice(1), conv.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+        bad = same & (turn_np[1:] <= turn_np[:-1])
+        head_same = prev_conv is not None and conv[0].as_py() == prev_conv
+        if bad.any() or (head_same and turn_np[0] <= prev_turn):
+            raise ValueError(
+                "clustered lag: rows are not sorted (conv_id, turn_idx) "
+                "within the partition — use the window path "
+                "(turn_metrics)")
+        lat = np.empty(n)
+        lat[1:] = np.where(same, sec[1:] - sec[:-1], np.nan)
+        lat[0] = sec[0] - prev_sec if head_same else np.nan
+        prev_conv = conv[n - 1].as_py()
+        prev_sec = sec[n - 1]
+        prev_turn = int(turn_np[n - 1])
+        yield b, lat
+
+
 def turn_metrics_clustered(transcripts: DataFrame) -> DataFrame:
     """Shuffle-free ``turn_metrics`` for conv-clustered inputs.
 
@@ -204,48 +264,9 @@ def turn_metrics_clustered(transcripts: DataFrame) -> DataFrame:
            StructField("ts_hour", in_schema["ts"].dataType, True)])
 
     def part(batches):
-        prev_conv = None   # last conv_id of the previous batch
-        prev_sec = 0.0     # its ts, in seconds
-        prev_turn = 0
-        first_batch = True
-        for b in batches:
-            n = b.num_rows
-            if n == 0:
-                continue
+        for b, lat in _clustered_lag(batches):
             names = b.schema.names
-            conv = b.column(names.index("conv_id"))
-            turn = b.column(names.index("turn_idx"))
             ts = b.column(names.index("ts"))
-            us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-            # same double arithmetic as the window path: cast-to-double
-            # per timestamp, then subtract
-            sec = us / 1e6
-            turn_np = turn.to_numpy(zero_copy_only=False)
-            if first_batch:
-                if turn_np[0] != 0:
-                    raise ValueError(
-                        "turn_metrics_clustered: partition begins mid-"
-                        "conversation (turn_idx=%d) — the input is not "
-                        "conv-clustered at file granularity; raise "
-                        "spark.sql.files.maxPartitionBytes or use "
-                        "turn_metrics()" % turn_np[0])
-                first_batch = False
-            same = pc.equal(conv.slice(1), conv.slice(0, n - 1)) \
-                .to_numpy(zero_copy_only=False)
-            bad = same & (turn_np[1:] <= turn_np[:-1])
-            head_same = prev_conv is not None and \
-                conv[0].as_py() == prev_conv
-            if bad.any() or (head_same and turn_np[0] <= prev_turn):
-                raise ValueError(
-                    "turn_metrics_clustered: rows are not sorted "
-                    "(conv_id, turn_idx) within the partition — use "
-                    "turn_metrics()")
-            lat = np.empty(n)
-            lat[1:] = np.where(same, sec[1:] - sec[:-1], np.nan)
-            lat[0] = sec[0] - prev_sec if head_same else np.nan
-            prev_conv = conv[n - 1].as_py()
-            prev_sec = sec[n - 1]
-            prev_turn = int(turn_np[n - 1])
             derived, dfields = [], []
             if has_text:
                 derived.append(pc.cast(
@@ -283,83 +304,92 @@ def latency_digests_clustered(transcripts: DataFrame,
     one sketch-row Exchange.  ``group_cols`` may use ``role``,
     ``tool`` and the derived ``ts_hour``.
     """
+    general = turn_digests_clustered(
+        transcripts, ("latency_s",), group_cols, compression, scale,
+        buffer_size)
+    return general.drop("metric")
+
+
+def turn_digests_clustered(transcripts: DataFrame,
+                           metrics=("latency_s", "text_len"),
+                           group_cols=("role", "ts_hour"),
+                           compression: float = 100.0,
+                           scale: str = "K_2",
+                           buffer_size: int | None = None) -> DataFrame:
+    """Multi-metric fused kernel: ONE scan, ONE Python pass, N digest
+    families — the north-star job digests BOTH per-turn metrics
+    (inter-turn latency via the clustered lag, text length) and this
+    derives every (metric, group) digest from a single pass over the
+    raw rows.  Output: ``metric string, group_cols..., digest, rows``.
+
+    Same conv-clustered input contract as ``turn_metrics_clustered``
+    (loud guards; fall back to the window path + ``tdigest_aggregate``
+    per metric otherwise).  ``metrics`` may contain ``latency_s`` and
+    ``text_len``; ``group_cols`` may use ``role``, ``tool`` and the
+    derived ``ts_hour``.
+    """
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from ..operators.aggregate import (
         DEFAULT_BUFFER, DIGEST_FIELD, DigestAccumulator, merge_digests_df,
     )
-    from pyspark.sql.types import BinaryType, LongType
+    from pyspark.sql.types import BinaryType, LongType, StringType
 
+    metrics = list(metrics)
     group_cols = list(group_cols)
     if buffer_size is None:
         buffer_size = DEFAULT_BUFFER
     in_schema = transcripts.schema
     need = {"conv_id", "turn_idx", "ts"} | {
         c for c in group_cols if c != "ts_hour"}
+    if "text_len" in metrics:
+        need.add("text")
     narrow = transcripts.select(*[f.name for f in in_schema.fields
                                   if f.name in need])
     out_schema = StructType(
-        [StructField(c, in_schema["ts"].dataType if c == "ts_hour"
-                     else in_schema[c].dataType, True) for c in group_cols]
+        [StructField("metric", StringType(), False)]
+        + [StructField(c, in_schema["ts"].dataType if c == "ts_hour"
+                       else in_schema[c].dataType, True)
+           for c in group_cols]
         + [StructField(DIGEST_FIELD, BinaryType(), False),
            StructField("rows", LongType(), False)])
 
     def fused(batches):
-        acc = DigestAccumulator(len(group_cols), group_cols, compression,
-                                scale, buffer_size, has_weight=False)
-        prev_conv = None
-        prev_sec = 0.0
-        prev_turn = 0
-        first_batch = True
-        for b in batches:
-            n = b.num_rows
-            if n == 0:
-                continue
+        accs = {m: DigestAccumulator(len(group_cols), group_cols,
+                                     compression, scale, buffer_size,
+                                     has_weight=False)
+                for m in metrics}
+        for b, lat in _clustered_lag(batches):
             names = b.schema.names
-            conv = b.column(names.index("conv_id"))
-            turn = b.column(names.index("turn_idx"))
             ts = b.column(names.index("ts"))
-            us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-            sec = us / 1e6
-            turn_np = turn.to_numpy(zero_copy_only=False)
-            if first_batch:
-                if turn_np[0] != 0:
-                    raise ValueError(
-                        "latency_digests_clustered: partition begins mid-"
-                        "conversation (turn_idx=%d) — input is not conv-"
-                        "clustered at file granularity; raise spark.sql."
-                        "files.maxPartitionBytes or use the window path"
-                        % turn_np[0])
-                first_batch = False
-            same = pc.equal(conv.slice(1), conv.slice(0, n - 1)) \
-                .to_numpy(zero_copy_only=False)
-            bad = same & (turn_np[1:] <= turn_np[:-1])
-            head_same = prev_conv is not None and \
-                conv[0].as_py() == prev_conv
-            if bad.any() or (head_same and turn_np[0] <= prev_turn):
-                raise ValueError(
-                    "latency_digests_clustered: rows are not sorted "
-                    "(conv_id, turn_idx) within the partition — use the "
-                    "window path")
-            lat = np.empty(n)
-            lat[1:] = np.where(same, sec[1:] - sec[:-1], np.nan)
-            lat[0] = sec[0] - prev_sec if head_same else np.nan
-            prev_conv = conv[n - 1].as_py()
-            prev_sec = sec[n - 1]
-            prev_turn = int(turn_np[n - 1])
             keys = []
             for c in group_cols:
                 if c == "ts_hour":
                     keys.append(pc.floor_temporal(ts, unit="hour"))
                 else:
                     keys.append(b.column(names.index(c)))
-            acc.update(pa.RecordBatch.from_arrays(
-                keys + [pa.array(lat, type=pa.float64())],
-                names=group_cols + ["__v"]))
-        out = acc.finish()
-        if out is not None:
-            yield out
+            for m in metrics:
+                if m == "latency_s":
+                    val = pa.array(lat, type=pa.float64())
+                elif m == "text_len":
+                    val = pc.cast(
+                        pc.utf8_length(b.column(names.index("text"))),
+                        pa.float64())
+                else:
+                    raise ValueError(f"unknown metric {m!r}")
+                accs[m].update(pa.RecordBatch.from_arrays(
+                    keys + [val], names=group_cols + ["__v"]))
+        for m in metrics:
+            rb = accs[m].finish()
+            if rb is not None:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([m] * rb.num_rows, type=pa.string())]
+                    + list(rb.columns),
+                    schema=pa.schema(
+                        [pa.field("metric", pa.string())]
+                        + list(rb.schema)))
 
     partials = narrow.mapInArrow(fused, schema=out_schema)
-    return merge_digests_df(partials, group_cols, compression, scale)
+    return merge_digests_df(partials, ["metric"] + group_cols,
+                            compression, scale)

@@ -383,3 +383,36 @@ def test_latency_digests_clustered_fused_equals_two_pass(spark, tmp_path):
         if da.size >= 100:  # midpoint-rule steps dominate tiny groups
             for q in (0.1, 0.5, 0.9, 0.99):
                 assert da.cdf(db.quantile(q)) == pytest.approx(q, abs=0.02)
+
+
+def test_turn_digests_clustered_multimetric(spark, tmp_path):
+    # one scan, one Python pass, two digest families: latency digests
+    # match the single-metric fused path; text_len digests match
+    # tdigest_aggregate over the window-derived metrics
+    from t_digest_spark.sources.tables import (
+        latency_digests_clustered, turn_digests_clustered,
+        turn_metrics_clustered,
+    )
+
+    path = str(tmp_path / "transcripts4.parquet")
+    synth_transcripts(spark, n_convs=300, seed=4, partitions=4) \
+        .write.parquet(path)
+    t = spark.read.parquet(path)
+    multi = turn_digests_clustered(
+        t, ("latency_s", "text_len"), ["role"])
+    rows = {(r.metric, r.role): r for r in multi.collect()}
+    lat_single = {r.role: r for r in
+                  latency_digests_clustered(t, ["role"]).collect()}
+    m = turn_metrics_clustered(t)
+    tl_ref = {r.role: r for r in tdigest_aggregate(
+        m, "text_len", ["role"]).collect()}
+    roles = {k[1] for k in rows}
+    assert roles == set(lat_single) == set(tl_ref)
+    for role in roles:
+        a = TDigest.from_bytes(bytes(rows[("latency_s", role)].digest))
+        b = TDigest.from_bytes(bytes(lat_single[role].digest))
+        assert a.size == b.size and a.min == b.min and a.max == b.max
+        c = TDigest.from_bytes(bytes(rows[("text_len", role)].digest))
+        d = TDigest.from_bytes(bytes(tl_ref[role].digest))
+        assert c.size == d.size and c.min == d.min and c.max == d.max
+        assert rows[("text_len", role)].rows == tl_ref[role].rows
