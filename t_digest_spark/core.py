@@ -43,7 +43,7 @@ import numpy as np
 
 from .scale import K_2, get_scale
 
-__all__ = ["TDigest", "merge_digests"]
+__all__ = ["TDigest", "merge_digests", "merge_blobs"]
 
 _VERBOSE_ENCODING = 1
 _SMALL_ENCODING = 2
@@ -867,4 +867,56 @@ def merge_digests(digests, compression: float | None = None,
     if means:
         out.add_centroids(np.concatenate(means), np.concatenate(weights),
                           mn, mx)
+    return out
+
+
+def merge_blobs(blobs, compression: float | None = None, scale=None,
+                buffer_size: int = -1) -> TDigest:
+    """Merge SERIALIZED digests without constructing a TDigest per blob.
+
+    Semantically identical to
+    ``merge_digests([TDigest.from_bytes(b) for b in blobs])`` but the
+    per-blob work is one header unpack + one zero-copy ``frombuffer``
+    view — no object construction, no per-digest flush.  This is the
+    stage-2 hot path: a grouped aggregation at P partitions x K keys
+    merges P blobs per key, so blob decode dominates the reduce.
+    """
+    means, weights = [], []
+    mn, mx = math.inf, -math.inf
+    comp = None
+    total_centroids = 0
+    for buf in blobs:
+        (encoding,) = struct.unpack_from(">i", buf, 0)
+        if encoding == _VERBOSE_ENCODING:
+            bmn, bmx, bcomp, n = struct.unpack_from(">dddi", buf, 4)
+            pairs = np.frombuffer(buf, dtype=">f8", count=2 * n,
+                                  offset=32).reshape(n, 2)
+        elif encoding == _SMALL_ENCODING:
+            bmn, bmx, bcomp, _sz, _bsz, n = struct.unpack_from(
+                ">ddfhhh", buf, 4)
+            pairs = np.frombuffer(buf, dtype=">f4", count=2 * n,
+                                  offset=30).reshape(n, 2)
+        else:
+            raise ValueError(f"Invalid serialized digest format {encoding}")
+        if comp is None:
+            comp = float(bcomp)
+        if n == 0:
+            continue
+        weights.append(pairs[:, 0])
+        means.append(pairs[:, 1])
+        mn = min(mn, bmn)
+        mx = max(mx, bmx)
+        total_centroids += n
+    if compression is None:
+        compression = comp or 100.0
+    if scale is None:
+        scale = K_2
+    if buffer_size == -1:
+        buffer_size = max(total_centroids + int(4 * compression) + 64, 2048)
+    out = TDigest(compression, buffer_size=buffer_size, scale=scale)
+    if total_centroids:
+        out.add_centroids(
+            np.ascontiguousarray(np.concatenate(means), dtype=np.float64),
+            np.ascontiguousarray(np.concatenate(weights), dtype=np.float64),
+            mn, mx)
     return out

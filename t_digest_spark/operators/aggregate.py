@@ -41,7 +41,7 @@ from pyspark.sql.types import (
     BinaryType, DoubleType, LongType, StructField, StructType,
 )
 
-from ..core import TDigest, merge_digests
+from ..core import TDigest, merge_blobs, merge_digests
 
 __all__ = [
     "partial_digests",
@@ -229,8 +229,12 @@ def _merge_fn(compression: float, scale: str, group_cols: Sequence[str],
     group_cols = list(group_cols)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        ds = [TDigest.from_bytes(b, scale=scale) for b in pdf[DIGEST_FIELD]]
-        merged = merge_digests(ds, compression=compression)
+        # merge_blobs decodes each blob as a zero-copy frombuffer view —
+        # no per-partial TDigest construction; at P partitions x K keys
+        # the reduce decodes P blobs per key, so this is the stage-2
+        # hot path
+        merged = merge_blobs(list(pdf[DIGEST_FIELD]),
+                             compression=compression, scale=scale)
         head = {c: [pdf[c].iloc[0]] for c in group_cols}
         head[DIGEST_FIELD] = [merged.to_bytes()]
         head["rows"] = [int(pdf["rows"].sum())]
@@ -266,13 +270,12 @@ def merge_digests_df(
 
 def _global_merge_gen(compression: float, scale: str):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ds: list[TDigest] = []
+        blobs: list[bytes] = []
         rows = 0
         for pdf in batches:
-            ds.extend(TDigest.from_bytes(b, scale=scale)
-                      for b in pdf[DIGEST_FIELD])
+            blobs.extend(pdf[DIGEST_FIELD])
             rows += int(pdf["rows"].sum())
-        merged = merge_digests(ds, compression=compression)
+        merged = merge_blobs(blobs, compression=compression, scale=scale)
         yield pd.DataFrame({DIGEST_FIELD: [merged.to_bytes()],
                             "rows": [rows]})
     return gen

@@ -140,3 +140,29 @@ def test_mega_merge_scale():
     for q in QS:
         q_back = dist_cdf(merged.quantile(q), data)
         assert abs(q_back - q) < 0.015, q
+
+
+def test_merge_blobs_equals_merge_digests():
+    # the zero-copy blob fast path must be bit-identical to
+    # merge_digests over deserialized digests (same add_centroids call)
+    import numpy as np
+
+    from t_digest_spark.core import TDigest, merge_blobs, merge_digests
+
+    rng = np.random.default_rng(5)
+    blobs = []
+    for i in range(40):
+        d = TDigest(100.0)
+        d.add_batch(rng.gamma(2.0, 1.0, size=500))
+        blobs.append(d.to_bytes(compress=(i % 2 == 0)))
+    a = merge_blobs(blobs, compression=100.0)
+    b = merge_digests([TDigest.from_bytes(x) for x in blobs],
+                      compression=100.0)
+    assert a.size == b.size
+    assert a.min == b.min and a.max == b.max
+    ma, wa = a.centroids()
+    mb, wb = b.centroids()
+    assert np.array_equal(ma, mb) and np.array_equal(wa, wb)
+    # SMALL encoding decodes through the same path
+    small = merge_blobs([TDigest.from_bytes(blobs[0]).to_small_bytes()])
+    assert small.size == TDigest.from_bytes(blobs[0]).size
