@@ -573,6 +573,127 @@ def _q_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_variant_text():
+    """Constructed text variant that makes every quality component vary
+    (the raw corpus is punctuation/digit-free ASCII, which would pin
+    quality at 1.0 for all docs): truncate by doc_id, pad with '!' runs
+    (punct ratio) and '3' runs (digit ratio).  Pure Catalyst, so the
+    oracle rebuilds the identical string."""
+    return F.concat(
+        F.col("text").substr(
+            F.lit(1), (F.lit(8) + F.col("doc_id") % 25).cast("int")),
+        F.expr("repeat('!', CAST(doc_id % 5 AS INT))"),
+        F.expr("repeat('3', CAST(doc_id % 4 AS INT))"))
+
+
+def _q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring + char-class stats (operators/text.py
+    quality_score / char_stats / token_count) over a constructed text
+    variant; every component (length, mean word length, punct ratio,
+    digit ratio) discriminates.  The oracle reproduces the regex counts
+    and the exact IEEE arithmetic of the score."""
+    from t_digest_spark.operators.text import (
+        char_stats, quality_score, token_count,
+    )
+    docs = load_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 25)
+    t = _quality_variant_text()
+    cs = char_stats(t)
+    return docs.select(
+        "doc_id",
+        cs.getField("n_chars").cast("long").alias("n_chars"),
+        token_count(t).cast("long").alias("n_words"),
+        cs.getField("n_punct").cast("long").alias("n_punct"),
+        cs.getField("n_digit").cast("long").alias("n_digit"),
+        quality_score(t).alias("quality"),
+    )
+
+
+def _q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (operators/multimodal.py frame_sample)
+    over the deterministic documents-derived media table: one row per
+    sampled frame timestamp, all JVM-side sequence/explode arithmetic
+    the oracle reproduces with generate_series."""
+    from t_digest_spark.operators.multimodal import (
+        frame_sample, media_from_documents,
+    )
+    docs = load_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 60)
+    frames = frame_sample(media_from_documents(docs),
+                          every_ms=500, max_frames=8)
+    return frames.select(
+        "media_id",
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+def _q_media_feature_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pipeline end-to-end: documents → binary payload
+    → mapInPandas decode (operators/multimodal.py decode_features with
+    the SQL-reproducible ``indexed_fake_decoder``) → feature slots.
+    The payload bytes genuinely flow through Arrow into the kernel; the
+    oracle recomputes slot codes from the same payload probes (length,
+    first byte, last byte) with integer arithmetic — integers only, so
+    the value hash is float-free."""
+    from t_digest_spark.operators.multimodal import (
+        decode_features, indexed_fake_decoder, media_from_documents,
+    )
+    docs = load_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 20)
+    feats = decode_features(media_from_documents(docs), dim=64,
+                            decoder=indexed_fake_decoder)
+    f = F.col("feature")
+    return feats.select(
+        "media_id", "modality",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round(F.element_at(f, 1).cast("double") * 1000, 0)
+        .cast("long").alias("code0"),
+        F.round(F.element_at(f, 64).cast("double") * 1000, 0)
+        .cast("long").alias("code63"),
+    )
+
+
+def _q_streaming_digest_smalln(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming digest fold (streaming/digest_stream.py
+    stream_digests): readStream over the nation parquet, foreachBatch
+    partial→merge into versioned state, then query the final state.
+    n<=delta ⇒ singleton centroids ⇒ the streamed digest's median is
+    the exact order statistic, same construction as
+    digest_median_smalln (TDigestTest.java:377-403)."""
+    import os
+    import tempfile
+
+    from t_digest_spark.streaming.digest_stream import (
+        read_digest_state, stream_digests,
+    )
+    src = os.path.join(sf_dir, "nation.parquet")
+    schema = spark.read.parquet(src).schema
+    base = tempfile.mkdtemp(prefix="tdigest_stream_q_")
+    # FileStreamSource only accepts directories; expose the single
+    # parquet file through a symlinked staging dir
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    os.symlink(os.path.abspath(src),
+               os.path.join(src_dir, "nation.parquet"))
+    stream = (spark.readStream.schema(schema).parquet(src_dir)
+              .withColumn("nk", F.col("n_nationkey").cast("double")))
+    q = stream_digests(stream, "nk", ["n_regionkey"],
+                       os.path.join(base, "state"),
+                       os.path.join(base, "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    st = read_digest_state(spark, os.path.join(base, "state"))
+    return st.select(
+        "n_regionkey",
+        quantile_of("digest", 0.5).alias("median_nationkey"),
+        F.col("rows").cast("long").alias("n_rows"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_stats": _q_rollup_stats,
     "cube_stats": _q_cube_stats,
@@ -598,6 +719,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "digest_median_smalln": _q_median_smalln,
     "digest_cdf_smalln": _q_cdf_smalln,
     "digest_trimmed_mean_smalln": _q_trimmed_mean_smalln,
+    "doc_quality_scores": _q_doc_quality_scores,
+    "media_frame_plan": _q_media_frame_plan,
+    "media_feature_probe": _q_media_feature_probe,
+    "streaming_digest_smalln": _q_streaming_digest_smalln,
 }
 
 
@@ -852,6 +977,103 @@ ORACLES: dict[str, str] = {
         FROM ranked
         WHERE rn > CAST(0.2 * cnt AS BIGINT) AND rn <= CAST(0.8 * cnt AS BIGINT)
         GROUP BY n_regionkey
+    """,
+    # reproduces operators/text.py quality_score/char_stats/token_count
+    # over the same constructed variant text, with identical IEEE op
+    # order for the score arithmetic
+    "doc_quality_scores": r"""
+        WITH v AS (
+            SELECT doc_id,
+                   substr(text, 1, 8 + CAST(doc_id % 25 AS INT))
+                   || repeat('!', CAST(doc_id % 5 AS INT))
+                   || repeat('3', CAST(doc_id % 4 AS INT)) AS t
+            FROM documents WHERE doc_id < 25),
+        c AS (
+            SELECT doc_id, t,
+                   LENGTH(t) AS n_chars,
+                   CASE WHEN LENGTH(TRIM(t)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(TRIM(t), '\s+'))
+                   END AS n_words,
+                   LENGTH(regexp_replace(t, '[^[:punct:]]', '', 'g'))
+                       AS n_punct,
+                   LENGTH(regexp_replace(t, '[^0-9]', '', 'g')) AS n_digit
+            FROM v),
+        s AS (
+            SELECT doc_id, n_chars, n_words, n_punct, n_digit,
+                   CAST(GREATEST(n_chars, 1) AS DOUBLE) AS n,
+                   CAST(GREATEST(n_words, 1) AS DOUBLE) AS nw
+            FROM c),
+        comp AS (
+            SELECT doc_id, n_chars, n_words, n_punct, n_digit,
+                   CASE WHEN n_chars < 16 THEN 0.2
+                        WHEN n_chars > 100000 THEN 0.3
+                        ELSE 1.0 END AS len_score,
+                   CASE WHEN n / nw >= 3 AND n / nw <= 12
+                        THEN 1.0 ELSE 0.5 END AS word_score,
+                   1.0 - LEAST(n_punct / n * 4, 1.0) AS punct_score,
+                   1.0 - LEAST(n_digit / n * 2, 1.0) AS digit_score
+            FROM s)
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_punct AS BIGINT) AS n_punct,
+               CAST(n_digit AS BIGINT) AS n_digit,
+               0.3 * len_score + 0.2 * word_score
+                   + 0.3 * punct_score + 0.2 * digit_score AS quality
+        FROM comp
+    """,
+    # reproduces multimodal.py media_from_documents + frame_sample:
+    # videos are doc_id % 3 == 2, duration 1000 + (doc_id*37) % 9000,
+    # frames every 500 ms capped at 8 (inclusive sequence = inclusive
+    # generate_series)
+    "media_frame_plan": """
+        WITH f AS (
+            SELECT doc_id AS media_id,
+                   UNNEST(generate_series(
+                       0,
+                       LEAST(1000 + (doc_id * 37) % 9000 - 1, 3500),
+                       500)) AS ts
+            FROM documents WHERE doc_id < 60 AND doc_id % 3 = 2)
+        SELECT media_id, CAST(ts AS BIGINT) AS frame_ts_ms,
+               CAST(256 AS BIGINT) AS width, CAST(256 AS BIGINT) AS height
+        FROM f
+    """,
+    # reproduces multimodal.py indexed_fake_decoder from the same
+    # payload probes (UTF-8 byte length, first byte, last byte) with
+    # pure integer arithmetic — the corpus is ASCII so ascii() equals
+    # the byte value
+    "media_feature_probe": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   octet_length(encode(text)) AS nb,
+                   ascii(substr(text, 1, 1)) AS fb,
+                   ascii(substr(text, LENGTH(text), 1)) AS lb
+            FROM documents WHERE doc_id < 20),
+        s AS (SELECT media_id, modality, nb,
+                     (nb * 131 + fb * 31 + lb) % 100003 AS sv
+              FROM m)
+        SELECT media_id, modality, CAST(nb AS BIGINT) AS n_bytes,
+               CAST((sv * 2654435761 + 0 * 40503) % 1000 AS BIGINT)
+                   AS code0,
+               CAST((sv * 2654435761 + 63 * 40503) % 1000 AS BIGINT)
+                   AS code63
+        FROM s
+    """,
+    # the streamed fold ends at the same digest a batch aggregate
+    # builds (merge associativity); n<=delta makes the median exact
+    "streaming_digest_smalln": """
+        WITH ranked AS (
+            SELECT n_regionkey, CAST(n_nationkey AS DOUBLE) AS nk,
+                   ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY n_regionkey) AS cnt
+            FROM nation)
+        SELECT n_regionkey, nk AS median_nationkey,
+               CAST(cnt AS BIGINT) AS n_rows
+        FROM ranked WHERE rn = CAST(FLOOR(0.5 * cnt) AS BIGINT) + 1
     """,
 }
 

@@ -27,7 +27,8 @@ from pyspark.sql.types import (
 
 __all__ = [
     "MEDIA_SCHEMA", "FEATURE_SCHEMA", "synth_media", "decode_features",
-    "frame_sample", "set_decoder",
+    "frame_sample", "set_decoder", "media_from_documents",
+    "indexed_fake_decoder",
 ]
 
 #: canonical multimodal table shape: id, modality, payload, metadata
@@ -101,23 +102,81 @@ def synth_media(spark, n: int = 1000, seed: int = 42,
         gen, schema=MEDIA_SCHEMA)
 
 
-def decode_features(media: DataFrame, dim: int = 64) -> DataFrame:
+def indexed_fake_decoder(payload: bytes, modality: str,
+                         dim: int) -> np.ndarray:
+    """SQL-reproducible deterministic fake decode kernel.
+
+    Features derive from three payload probes (length, first byte, last
+    byte) through pure integer arithmetic, so an external SQL engine
+    can recompute any feature slot exactly — which is what makes the
+    driver's multimodal pipeline query oracle-checkable end-to-end
+    (payload bytes really flow through Arrow into this kernel; the
+    default ``_fake_decode`` hashes the full payload and is therefore
+    not SQL-expressible)::
+
+        seed  = (len*131 + first*31 + last) % 100003
+        code  = (seed * 2654435761 + i * 40503) % 1000    # slot i
+        f[i]  = code / 1000.0
+    """
+    nb = len(payload)
+    first = payload[0] if nb else 0
+    last = payload[-1] if nb else 0
+    seed = (nb * 131 + first * 31 + last) % 100003
+    i = np.arange(dim, dtype=np.int64)
+    code = (seed * 2654435761 + i * 40503) % 1000
+    return (code / 1000.0).astype(np.float32)
+
+
+def media_from_documents(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Deterministic MEDIA_SCHEMA table derived from a documents table
+    (payload = UTF-8 bytes of the text; modality/duration from the id).
+
+    Pure Catalyst expressions, so a SQL oracle can rebuild the exact
+    same table — the driver's multimodal queries run over this instead
+    of ``synth_media`` for that reason.
+    """
+    mod3 = F.col(id_col) % 3
+    is_img = mod3 == 0
+    is_aud = mod3 == 1
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.when(is_img, "image").when(is_aud, "audio")
+        .otherwise("video").alias("modality"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.when(is_img, "image/png").when(is_aud, "audio/wav")
+        .otherwise("video/mp4").alias("mime"),
+        F.when(~is_aud, F.lit(256)).cast("int").alias("width"),
+        F.when(~is_aud, F.lit(256)).cast("int").alias("height"),
+        F.when(~is_img, F.lit(1000) + (F.col(id_col) * 37) % 9000)
+        .cast("int").alias("duration_ms"),
+    )
+
+
+def decode_features(media: DataFrame, dim: int = 64,
+                    decoder: Callable[[bytes, str, int], np.ndarray]
+                    | None = None) -> DataFrame:
     """payload → feature vector via mapInPandas.
 
     Real plumbing: Arrow-batched binary columns, per-batch NumPy, output
     drops the payload so downstream stages never shuffle raw media.
     The decode kernel itself is the stub (see module docstring).
+    ``decoder`` overrides the module default for this call; it is
+    captured by value in the closure, so it reaches executors even when
+    they import the module fresh.
     """
     cols = ["media_id", "modality", "payload"]
+    explicit = decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = explicit if explicit is not None else _DECODER
         for pdf in batches:
-            if _DECODER is None:
+            if kernel is None:
                 raise NotImplementedError(
                     "no media decoder installed in this environment; "
                     "install one with set_decoder()")
             feats = [
-                _DECODER(bytes(p), m, dim).tolist()
+                kernel(bytes(p), m, dim).tolist()
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
             yield pd.DataFrame({

@@ -287,6 +287,32 @@ def test_multimodal_strict_mode(spark):
         set_decoder(_fake_decode)
 
 
+def test_media_from_documents_and_explicit_decoder(spark):
+    from t_digest_spark.operators.multimodal import (
+        indexed_fake_decoder, media_from_documents,
+    )
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * (i + 1)) for i in range(9)],
+        "doc_id long, text string")
+    media = media_from_documents(docs)
+    rows = {r.media_id: r for r in media.collect()}
+    assert len(rows) == 9
+    assert rows[0].modality == "image" and rows[0].duration_ms is None
+    assert rows[1].modality == "audio" and rows[1].width is None
+    assert rows[2].modality == "video" \
+        and rows[2].duration_ms == 1000 + 2 * 37
+    assert bytes(rows[3].payload).decode() == "alpha beta gamma delta " * 4
+    # explicit decoder is captured by value (reaches executors even
+    # though the module default differs) and is SQL-reproducible
+    feats = decode_features(media, dim=8,
+                            decoder=indexed_fake_decoder).collect()
+    for r in feats:
+        pay = bytes(rows[r.media_id].payload)
+        expect = indexed_fake_decoder(pay, r.modality, 8)
+        assert np.allclose(r.feature, expect)
+        assert r.n_bytes == len(pay)
+
+
 def test_frame_sample(spark):
     media = synth_media(spark, n=30, partitions=2)
     frames = frame_sample(media, every_ms=1000, max_frames=4)
