@@ -112,15 +112,37 @@ def minhash_signature(shingles_col, num_perm: int = 64,
     def f(sh: pd.Series) -> pd.Series:
         aa = a.astype(np.uint64)[:, None]
         bb = b.astype(np.uint64)[:, None]
-
-        def one(arr):
-            if arr is None or len(arr) == 0:
-                return None
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)[None, :]
-            sig = _mod61(_mulmod61(aa, _mod61(h)) + bb).min(axis=1)
-            return sig.astype(np.int64).tolist()
-
-        return sh.map(one)
+        n = len(sh)
+        out = [None] * n
+        vals = sh.to_numpy()
+        lens = np.fromiter((0 if v is None else len(v) for v in vals),
+                           dtype=np.int64, count=n)
+        idx = np.flatnonzero(lens > 0)
+        # whole-batch vectorization in row chunks: concatenate the
+        # chunk's shingle hashes, one (num_perm x total_shingles)
+        # modular-hash matrix, per-row minima via minimum.reduceat on
+        # the row boundaries.  The chunk target bounds the matrix (and
+        # the split-multiply temporaries) to ~num_perm * 64Ki u64.
+        target = 65536
+        start = 0
+        while start < len(idx):
+            end, tot = start, 0
+            while end < len(idx) and (tot == 0
+                                      or tot + lens[idx[end]] <= target):
+                tot += lens[idx[end]]
+                end += 1
+            rows = idx[start:end]
+            flat = np.concatenate(
+                [np.asarray(vals[i], dtype=np.int64) for i in rows]
+            ).astype(np.uint64)[None, :]
+            sig = _mod61(_mulmod61(aa, _mod61(flat)) + bb)
+            starts = np.concatenate(([0], np.cumsum(lens[rows])[:-1]))
+            mins = np.minimum.reduceat(sig, starts, axis=1) \
+                .astype(np.int64)
+            for j, i in enumerate(rows):
+                out[i] = mins[:, j].tolist()
+            start = end
+        return pd.Series(out)
 
     return f(shingles_col)
 
