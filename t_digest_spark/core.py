@@ -74,7 +74,7 @@ class TDigest:
         "public_compression", "compression", "scale",
         "_size", "_buffer_size",
         "_mean", "_weight", "_ncentroids", "_total_weight",
-        "_tmean", "_tweight", "_tcount", "_unmerged_weight",
+        "_tmean", "_tweight", "_tcount", "_unmerged_weight", "_tunit",
         "_min", "_max", "_merge_count",
         "use_weight_limit", "use_alternating_sort",
         "use_two_level_compression",
@@ -138,6 +138,10 @@ class TDigest:
         self._tweight = np.empty(init, dtype=np.float64)
         self._tcount = 0
         self._unmerged_weight = 0.0
+        # True while every buffered sample since the last merge has
+        # weight exactly 1 (the raw-ingest common case) — enables the
+        # sort-only merge fast path (_tweight holds no data then)
+        self._tunit = True
 
         self._min = math.inf
         self._max = -math.inf
@@ -166,9 +170,7 @@ class TDigest:
         if np.isnan(values).any():
             # TDigest.java:94-98 — NaN is an error, not a skip
             raise ValueError("Cannot add NaN to t-digest")
-        if weights is None:
-            weights = np.ones_like(values)
-        else:
+        if weights is not None:
             weights = np.ascontiguousarray(weights, dtype=np.float64)
             if weights.shape != values.shape:
                 raise ValueError("weights shape mismatch")
@@ -179,6 +181,9 @@ class TDigest:
         self._min = min(self._min, float(values.min()))
         self._max = max(self._max, float(values.max()))
 
+        # weights=None means unit weights throughout — never materialize
+        # the all-ones array (at 10^12 raw points that allocation+copy
+        # is a measurable slice of ingest)
         self._append(values, weights)
 
     def add_centroids(self, means, weights, d_min: float, d_max: float) -> None:
@@ -196,12 +201,22 @@ class TDigest:
         self._max = max(self._max, float(d_max))
         self._append(means, weights)
 
-    def _append(self, values: np.ndarray, weights: np.ndarray) -> None:
+    def _append(self, values: np.ndarray,
+                weights: np.ndarray | None) -> None:
         """Append to the temp buffer, merging on overflow
-        (MergingDigest.java:258-264 with growable storage)."""
+        (MergingDigest.java:258-264 with growable storage).
+        ``weights=None`` means implicit unit weights (_tweight is not
+        written while the whole buffer is unit — the merge fast path
+        never reads it)."""
         pos = 0
         n = values.size
         while pos < n:
+            if weights is not None and self._tunit:
+                # transition to explicit weights: backfill the implicit
+                # 1s.  Re-checked every iteration because an overflow
+                # merge below resets the buffer (and the unit flag).
+                self._tweight[:self._tcount] = 1.0
+                self._tunit = False
             # leave headroom for live centroids like the reference's
             # overflow check (MergingDigest.java:258-260)
             room = self._buffer_size - self._tcount - self._ncentroids - 1
@@ -216,9 +231,18 @@ class TDigest:
                 self._tmean = np.resize(self._tmean, grow)
                 self._tweight = np.resize(self._tweight, grow)
             self._tmean[t:need] = values[pos:pos + take]
-            self._tweight[t:need] = weights[pos:pos + take]
+            if weights is None:
+                if not self._tunit:
+                    # buffer already carries explicit weights from an
+                    # earlier append in this merge window — these unit
+                    # samples must materialize their 1s
+                    self._tweight[t:need] = 1.0
+                self._unmerged_weight += take
+            else:
+                self._tweight[t:need] = weights[pos:pos + take]
+                self._unmerged_weight += float(
+                    weights[pos:pos + take].sum())
             self._tcount = need
-            self._unmerged_weight += float(weights[pos:pos + take].sum())
             pos += take
 
     def merge(self, other: "TDigest") -> None:
@@ -244,20 +268,50 @@ class TDigest:
             self._merge_count += 1
             self._tcount = 0
             self._unmerged_weight = 0.0
+            self._tunit = True
 
     def _merge_pass(self, run_backwards: bool, compression: float) -> None:
         nc = self._ncentroids
-        m = np.concatenate([self._tmean[:self._tcount], self._mean[:nc]])
-        w = np.concatenate([self._tweight[:self._tcount], self._weight[:nc]])
-        n = m.size
+        n = self._tcount + nc
         if n == 0:
             return
-        # stable sort — load-bearing for repeated values (README.md:35-42;
-        # Sort.java:37-43).  Temp samples come first, matching the
-        # reference's buffer layout (temp then spliced live centroids).
-        order = np.argsort(m, kind="stable")
-        m = m[order]
-        w = w[order]
+        if self._tunit:
+            # unit-weight fast path (raw ingest): every buffered sample
+            # weighs 1, so equal means are indistinguishable and the
+            # buffer can be value-sorted with introsort (no stable
+            # mergesort, no index gather).  The live centroids are
+            # already sorted; splice them in AFTER equal buffer values
+            # (side='right'), which reproduces exactly what the stable
+            # argsort of [temp, centroids] yields (temp first among
+            # equals — README.md:35-42; Sort.java:37-43).
+            buf = np.sort(self._tmean[:self._tcount])
+            if nc == 0:
+                m = buf
+                w = np.ones(n, dtype=np.float64)
+            else:
+                cpos = self._mean[:nc].searchsorted(buf, side="left")
+                # position of each buffer value in the merged array:
+                # its buffer rank + number of centroids before it
+                m = np.empty(n, dtype=np.float64)
+                w = np.ones(n, dtype=np.float64)
+                bpos = np.arange(self._tcount, dtype=np.intp) + cpos
+                mask = np.ones(n, dtype=bool)
+                mask[bpos] = False
+                m[bpos] = buf
+                m[mask] = self._mean[:nc]
+                w[mask] = self._weight[:nc]
+        else:
+            m = np.concatenate(
+                [self._tmean[:self._tcount], self._mean[:nc]])
+            w = np.concatenate(
+                [self._tweight[:self._tcount], self._weight[:nc]])
+            # stable sort — load-bearing for repeated values
+            # (README.md:35-42; Sort.java:37-43).  Temp samples come
+            # first, matching the reference's buffer layout (temp then
+            # spliced live centroids).
+            order = np.argsort(m, kind="stable")
+            m = m[order]
+            w = w[order]
         if run_backwards:
             # MergingDigest.java:400-403: sweep right-to-left.  All
             # normalized scale functions have symmetric max(q) = max(1-q),
@@ -332,6 +386,12 @@ class TDigest:
             # return it without the per-centroid Python loop
             if n > 2 and not np.any(w[1:-1] + w[2:] <= cap2[2:]):
                 return np.arange(n, dtype=np.intp)
+            # membership test csum[j]-w_start <= min(cap0, cap2[j])
+            # splits into j <= hi (the cap0/searchsorted horizon) and
+            # excess[j] <= w_start with excess = csum - cap2 — one
+            # precomputed array turns the per-cluster window scan into
+            # a single compare + argmax
+            excess = csum - cap2
             while s < n - 1:
                 starts.append(s)
                 w_start = csum[s - 1]
@@ -345,13 +405,12 @@ class TDigest:
                 if hi <= s:
                     s += 1
                     continue
-                ok = (csum[s + 1:hi + 1] - w_start
-                      <= np.minimum(cap0, cap2[s + 1:hi + 1]))
-                bad = int(np.argmin(ok))
-                if ok[bad]:          # all True → cluster runs through hi
-                    s = hi + 1
-                else:
+                over = excess[s + 1:hi + 1] > w_start
+                bad = int(np.argmax(over))
+                if over[bad]:        # first excess violation caps the run
                     s = s + 1 + bad
+                else:                # none → cluster runs through hi
+                    s = hi + 1
         else:
             # same fast path for the k-limit sweep; here the pair test
             # is exact (no min with a second cap): cluster at s absorbs
