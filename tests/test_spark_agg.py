@@ -89,6 +89,40 @@ def test_tree_merge_equivalence(spark, events, exact_by_type):
             assert abs(q_back - q) < 0.015
 
 
+def test_skewed_hot_key_aggregate(spark):
+    """north_star skew clause: one conv-like hot key carrying ~95% of
+    rows must not distort results or stage-1 output size.  Stage 1 is
+    skew-immune by construction — each partition emits ONE digest per
+    key it sees, independent of that key's row count — so the hot key
+    costs nparts partial rows like any other key, and only the reduce
+    fan-in (bounded by tree_merge) grows."""
+    n_hot, n_cold_keys, per_cold = 190_000, 50, 200
+    hot = spark.range(n_hot).select(
+        F.lit("conv_hot").alias("k"),
+        (F.rand(seed=7) * 100).alias("v"))
+    cold = spark.range(n_cold_keys * per_cold).select(
+        F.concat(F.lit("conv_"), (F.col("id") % n_cold_keys)).alias("k"),
+        (F.rand(seed=8) * 100 + 50).alias("v"))
+    df = hot.unionByName(cold).repartition(16)
+
+    partials = partial_digests(df, "v", ["k"])
+    # skew immunity: partial count bounded by nparts x nkeys, NOT by
+    # row distribution
+    assert partials.count() <= 16 * (n_cold_keys + 1)
+
+    agg = tdigest_aggregate(df, "v", ["k"], tree=True, fanout=4)
+    rows = {r.k: r for r in agg.collect()}
+    assert rows["conv_hot"].rows == n_hot
+    hot_d = TDigest.from_bytes(bytes(rows["conv_hot"].digest))
+    exact = np.sort(np.asarray(
+        [r.v for r in df.where(F.col("k") == "conv_hot").collect()]))
+    for q in QS:
+        assert abs(dist_cdf(hot_d.quantile(q), exact) - q) < 0.015
+    # cold keys unaffected by the hot neighbor
+    some_cold = rows[f"conv_{n_cold_keys // 2}"]
+    assert some_cold.rows == per_cold
+
+
 def test_global_collect(spark, events):
     values = np.sort(np.asarray(
         [r.value for r in events.select("value").collect()]))
