@@ -81,6 +81,49 @@ def test_digest_contracts(data, compression):
     assert rt.size == d.size
 
 
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1),
+       chunks=st.integers(1, 6),
+       buffer=st.sampled_from([-1, 2048, 65536]))
+def test_unit_weight_fast_path_equivalence(seed, chunks, buffer):
+    """The unit-weight merge fast path (introsort + searchsorted
+    centroid splice) must be bit-identical to the stable-argsort path
+    under arbitrary interleavings of unit adds, explicit-ones adds,
+    truly weighted adds, digest merges, and mid-stream compress()."""
+    rng = np.random.default_rng(seed)
+    a = TDigest(100.0, buffer_size=buffer)
+    b = TDigest(100.0, buffer_size=buffer)
+    for _ in range(chunks):
+        kind = rng.integers(0, 4)
+        n = int(rng.integers(1, 30_000))
+        data = rng.normal(size=n) * 10.0 ** float(rng.integers(-3, 4))
+        if kind == 0:                       # unit (fast path in a only)
+            a.add_batch(data)
+            b.add_batch(data, np.ones_like(data))
+        elif kind == 1:                     # explicit weights
+            w = rng.uniform(0.5, 4.0, size=n)
+            a.add_batch(data, w)
+            b.add_batch(data, w)
+        elif kind == 2:                     # digest merge
+            other = TDigest(100.0)
+            other.add_batch(data)
+            o2 = TDigest(100.0)
+            o2.add_batch(data)
+            a.merge(other)
+            b.merge(o2)
+        else:                               # unit + mid-stream compress
+            a.add_batch(data)
+            b.add_batch(data, np.ones_like(data))
+            a.compress()
+            b.compress()
+    a.compress()
+    b.compress()
+    ma, wa = a.centroids()
+    mb, wb = b.centroids()
+    assert np.array_equal(ma, mb) and np.array_equal(wa, wb)
+    assert a.size == b.size and a.min == b.min and a.max == b.max
+
+
 @settings(max_examples=15, deadline=None)
 @given(seed=st.integers(0, 2**31 - 1), parts=st.integers(2, 20))
 def test_random_partition_merge_bound(seed, parts):
