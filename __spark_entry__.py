@@ -586,6 +586,40 @@ def _quality_variant_text():
         F.expr("repeat('3', CAST(doc_id % 4 AS INT))"))
 
 
+def _q_digest_orders_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational path showcase (SURVEY §2.B joins): orders ⋈ customer
+    ⋈ broadcast(nation) ⋈ broadcast(region), digest of o_totalprice
+    per region.  Exact columns (n/min/max) check the whole join+agg
+    pipeline; the p50 estimate is verified by the exact mid-point rank
+    bound (AccuracyTest.java:131-151) computed from the raw joined
+    rows, oracle literal true."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (orders
+              .join(customer, orders.o_custkey == customer.c_custkey)
+              .join(F.broadcast(nation),
+                    customer.c_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey)
+              .select("r_name", "o_totalprice"))
+    agg = tdigest_aggregate(joined, "o_totalprice", ["r_name"])
+    s = digest_stats("digest")
+    est = agg.select(
+        "r_name",
+        quantile_of("digest", 0.5).alias("est"),
+        F.lit(0.5).alias("q"))
+    checked = _rank_check(joined, "o_totalprice", ["r_name"], est,
+                          bound=0.015)
+    return (agg.select(
+        "r_name",
+        s.getField("n").cast("long").alias("n_orders"),
+        s.getField("min").alias("min_price"),
+        s.getField("max").alias("max_price"))
+        .join(checked.select("r_name", "rank_ok"), "r_name"))
+
+
 def _q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring + char-class stats (operators/text.py
     quality_score / char_stats / token_count) over a constructed text
@@ -719,6 +753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "digest_median_smalln": _q_median_smalln,
     "digest_cdf_smalln": _q_cdf_smalln,
     "digest_trimmed_mean_smalln": _q_trimmed_mean_smalln,
+    "digest_orders_by_region": _q_digest_orders_by_region,
     "doc_quality_scores": _q_doc_quality_scores,
     "media_frame_plan": _q_media_frame_plan,
     "media_feature_probe": _q_media_feature_probe,
@@ -977,6 +1012,18 @@ ORACLES: dict[str, str] = {
         FROM ranked
         WHERE rn > CAST(0.2 * cnt AS BIGINT) AND rn <= CAST(0.8 * cnt AS BIGINT)
         GROUP BY n_regionkey
+    """,
+    "digest_orders_by_region": """
+        SELECT r_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               true AS rank_ok
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
     """,
     # reproduces operators/text.py quality_score/char_stats/token_count
     # over the same constructed variant text, with identical IEEE op
