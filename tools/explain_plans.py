@@ -118,6 +118,39 @@ def main() -> None:
                    "BatchEvalPython" not in p3
                    and "ArrowEvalPython" not in p3))
 
+    # 4. multi-join digest: small dims broadcast, one digest Exchange
+    from t_digest_spark.operators.extract import digest_stats  # noqa: F401
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    nation = load_table(spark, SF_DIR, "nation")
+    region = load_table(spark, SF_DIR, "region")
+    joined = (orders
+              .join(customer, orders.o_custkey == customer.c_custkey)
+              .join(F.broadcast(nation),
+                    customer.c_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey)
+              .select("r_name", "o_totalprice"))
+    q4 = tdigest_aggregate(joined, "o_totalprice", ["r_name"])
+    p4 = plan_of(q4)
+    sections.append(("Multi-join grouped digest "
+                     "(orders ⋈ customer ⋈ nation ⋈ region)", p4))
+    checks.append(("dimension joins are BroadcastHashJoin",
+                   p4.count("BroadcastHashJoin") >= 2))
+    checks.append(("orders scan pruned to join key + measure",
+                   "struct<o_orderkey" not in p4))
+
+    # 5. frame sampling: pure Catalyst (sequence+explode), no Python
+    from t_digest_spark.operators.multimodal import (
+        frame_sample, media_from_documents,
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    q5 = frame_sample(media_from_documents(docs))
+    p5 = plan_of(q5)
+    sections.append(("Video frame-sampling plan (media table)", p5))
+    checks.append(("frame sampling has no Python eval node",
+                   "EvalPython" not in p5 and "MapInPandas" not in p5))
+
     out = ["# Physical plans — scale-critical properties\n",
            "Generated by tools/explain_plans.py; the driver-visible "
            "evidence that pruning/pushdown/shuffle claims in "
