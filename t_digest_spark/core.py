@@ -388,9 +388,13 @@ class TDigest:
                 return np.arange(n, dtype=np.intp)
             # membership test csum[j]-w_start <= min(cap0, cap2[j])
             # splits into j <= hi (the cap0/searchsorted horizon) and
-            # excess[j] <= w_start with excess = csum - cap2 — one
-            # precomputed array turns the per-cluster window scan into
-            # a single compare + argmax
+            # excess[j] <= w_start with excess = csum - cap2.  excess
+            # is CONVEX in j for every normalized scale (csum is
+            # increasing and cap2 = total*max(q) is concave in q), so
+            # when neither window endpoint violates, no interior point
+            # can — the per-cluster window scan collapses to two
+            # scalar lookups; the vectorized scan remains as the exact
+            # fallback whenever the endpoints disagree
             excess = csum - cap2
             while s < n - 1:
                 starts.append(s)
@@ -404,6 +408,12 @@ class TDigest:
                     hi = n - 2
                 if hi <= s:
                     s += 1
+                    continue
+                if excess[s + 1] > w_start:   # even one member violates
+                    s += 1
+                    continue
+                if excess[hi] <= w_start:     # endpoints OK ⇒ run to hi
+                    s = hi + 1
                     continue
                 over = excess[s + 1:hi + 1] > w_start
                 bad = int(np.argmax(over))
