@@ -216,3 +216,58 @@ def test_k1_fast_tolerance_parity():
     assert np.array_equal(K_1_FAST.q(ks, norm), K_1.q(ks, norm))
     # round-trip through the fast variant stays within the reference bar
     assert np.max(np.abs(K_1_FAST.q(k_fast, norm) - q)) < 1e-9
+
+
+def test_cluster_starts_matches_bruteforce_greedy():
+    """The production weight-limit sweep (searchsorted horizon +
+    convex-endpoint shortcut + vectorized fallback,
+    core._cluster_starts) must produce exactly the boundaries of the
+    reference's per-element greedy sweep (MergingDigest.java:421-472),
+    here re-implemented as a transparent brute-force oracle."""
+    from t_digest_spark.core import TDigest
+    from t_digest_spark.scale import get_scale
+
+    def greedy(w, total, scale, normalizer):
+        n = w.size
+        if n == 1:
+            return [0]
+        csum = np.cumsum(w)
+        starts = [0]
+        s = 1
+        while s < n - 1:
+            starts.append(s)
+            w_start = csum[s - 1]
+            cap0 = total * scale.max_py(w_start / total, normalizer)
+            e = s
+            while e + 1 <= n - 2:
+                j = e + 1
+                cap2 = total * float(scale.max_size(
+                    np.array([csum[j] / total]), normalizer)[0])
+                if csum[j] - w_start <= min(cap0, cap2):
+                    e = j
+                else:
+                    break
+            s = e + 1
+        if n >= 2:
+            starts.append(n - 1)
+        return starts
+
+    rng = np.random.default_rng(0)
+    for scale_name in ("K_0", "K_1", "K_2", "K_3"):
+        sc = get_scale(scale_name)
+        for trial in range(12):
+            n = int(rng.integers(3, 1500))
+            mode = trial % 3
+            if mode == 0:
+                w = np.ones(n)
+            elif mode == 1:
+                w = rng.integers(1, 50, size=n).astype(float)
+            else:
+                w = rng.uniform(0.1, 10.0, size=n)
+            total = w.sum()
+            comp = float(rng.choice([50.0, 100.0, 400.0]))
+            norm = sc.normalizer(comp, total)
+            d = TDigest(comp, scale=scale_name)
+            got = d._cluster_starts(w, total, norm).tolist()
+            assert got == greedy(w, total, sc, norm), \
+                (scale_name, n, mode, comp)

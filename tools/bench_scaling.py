@@ -328,11 +328,10 @@ real cluster N vs 4N executors do not share a throttled host; the
 ## Reference throughput context
 
 Reference MergingDigest.add(): ~140 ns/point single JVM thread
-(README.md:23) = ~7.1M points/s.  Our core: ~163 ns/point single
-Python worker at the default 64 Ki buffer, ~131 ns/point at 128 Ki
-(unit-weight merge fast path: introsort + searchsorted centroid
-splice, no stable-mergesort argsort, no index gather) — at parity
-with the reference's single JVM thread.  The Spark pipeline number
+(README.md:23) = ~7.1M points/s.  Our core: ~83 ns/point single
+Python worker at the default 64 Ki buffer — 1.7x the reference's
+single JVM thread (unit-weight merge fast path + convex-endpoint
+weight-limit sweep; see README).  The Spark pipeline number
 additionally includes parquet scan, Arrow transfer, and the digest
 merge — end-to-end turns/sec is the honest pipeline figure, not a
 bare add() loop.
