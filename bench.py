@@ -136,6 +136,19 @@ def main():
         warm_rates[name] = round(n_in / dt, 1)
     spark.stop()
 
+    # single-thread core ingest figure (comparable to the reference's
+    # ~140 ns/point JMH number, its README.md:23) — measured on the
+    # driver, no Spark in the loop
+    import numpy as _np
+
+    from t_digest_spark.core import TDigest as _TD
+    _data = _np.random.default_rng(1).gamma(2.0, 1.0, size=2_000_000)
+    _d = _TD(100.0)
+    _t0 = time.perf_counter()
+    _d.add_batch(_data)
+    _d.compress()
+    _core_ns = (time.perf_counter() - _t0) / _data.size * 1e9
+
     print(json.dumps({
         "metric": "tdigest headline queries wall-clock",
         "value": round(total, 3),
@@ -145,6 +158,8 @@ def main():
         "rows_per_sec": rates,
         "queries_warm": warm_timings,
         "rows_per_sec_warm": warm_rates,
+        "core_ns_per_point_1thread": round(_core_ns, 1),
+        "reference_ns_per_point_1thread": 140.0,
         "cpus": CPUS,
     }))
 

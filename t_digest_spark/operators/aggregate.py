@@ -133,6 +133,14 @@ class DigestAccumulator:
         self.acc: dict[tuple, TDigest] = {}
         self.counts: dict[tuple, int] = {}
         self.key_schema: list = [None] * n_keys
+        # per-key deferred chunks: when a batch spans many groups the
+        # per-group slices are tiny (tens of rows) and TDigest.add_batch's
+        # fixed cost (contiguity/NaN/min-max/append) dominates — so
+        # slices are parked here (views, zero copy) and fed to the
+        # digest in one concatenated call per ~buffer_size rows
+        self._chunks: dict[tuple, list] = {}
+        self._wchunks: dict[tuple, list] = {}
+        self._chunk_rows: dict[tuple, int] = {}
 
     def _digest(self, key: tuple) -> TDigest:
         d = self.acc.get(key)
@@ -142,6 +150,36 @@ class DigestAccumulator:
             self.acc[key] = d
             self.counts[key] = 0
         return d
+
+    def _push(self, key: tuple, values, weights) -> None:
+        lst = self._chunks.get(key)
+        if lst is None:
+            lst = self._chunks[key] = []
+            self._chunk_rows[key] = 0
+            if self.has_weight:
+                self._wchunks[key] = []
+        lst.append(values)
+        if weights is not None:
+            self._wchunks[key].append(weights)
+        n = self._chunk_rows[key] + values.size
+        self._chunk_rows[key] = n
+        if n >= self.buffer_size:
+            self._flush_key(key)
+
+    def _flush_key(self, key: tuple) -> None:
+        lst = self._chunks.pop(key, None)
+        if not lst:
+            return
+        v = lst[0] if len(lst) == 1 else np.concatenate(lst)
+        if self.has_weight:
+            wl = self._wchunks.pop(key)
+            w = wl[0] if len(wl) == 1 else np.concatenate(wl)
+        else:
+            w = None
+        self._chunk_rows.pop(key, None)
+        d = self._digest(key)
+        d.add_batch(v, w)
+        self.counts[key] += v.size
 
     def update(self, batch) -> None:
         import pyarrow.compute as pc
@@ -168,6 +206,8 @@ class DigestAccumulator:
 
         # dictionary-encode each key column (C kernel), combine codes
         combined = None
+        codes_list = []
+        dicts = []
         for i in range(n_keys):
             col = batch.column(i)
             self.key_schema[i] = batch.schema.field(i)
@@ -177,6 +217,12 @@ class DigestAccumulator:
             card = len(enc.dictionary) + 1
             combined = codes + 1 if combined is None \
                 else combined * card + (codes + 1)
+            codes_list.append(codes)
+            # decode the (small) dictionary once — key tuples then come
+            # from O(1) list indexing, not per-group pyarrow scalar
+            # .as_py() (which dominated profiles at high per-batch
+            # group cardinality)
+            dicts.append(enc.dictionary.to_pylist())
         if not ok.all():
             combined = np.where(ok, combined, -1)
 
@@ -193,17 +239,20 @@ class DigestAccumulator:
                 continue
             row0 = order[s]
             key = tuple(
-                batch.column(i)[row0].as_py() for i in range(n_keys))
-            d = self._digest(key)
-            d.add_batch(
-                sorted_values[s:e],
-                sorted_weights[s:e] if sorted_weights is not None
-                else None)
-            self.counts[key] += e - s
+                dicts[i][codes_list[i][row0]]
+                if codes_list[i][row0] >= 0 else None
+                for i in range(n_keys))
+            # .copy() so the parked chunk doesn't pin this batch's full
+            # sorted array until flush time
+            self._push(key, sorted_values[s:e].copy(),
+                       sorted_weights[s:e].copy()
+                       if sorted_weights is not None else None)
 
     def finish(self):
         import pyarrow as pa
 
+        for key in list(self._chunks):
+            self._flush_key(key)
         if not self.acc:
             return None
         keys = list(self.acc.keys())

@@ -341,12 +341,21 @@ def turn_digests_clustered(transcripts: DataFrame,
     if buffer_size is None:
         buffer_size = DEFAULT_BUFFER
     in_schema = transcripts.schema
-    need = {"conv_id", "turn_idx", "ts"} | {
+    need = {"turn_idx", "ts"} | {
         c for c in group_cols if c != "ts_hour"}
     if "text_len" in metrics:
         need.add("text")
-    narrow = transcripts.select(*[f.name for f in in_schema.fields
-                                  if f.name in need])
+    # the kernel only needs conv BOUNDARIES, not identities — ship an
+    # 8-byte xxhash64 of conv_id across Arrow instead of the string
+    # (the widest column otherwise).  A hash collision between two
+    # ADJACENT distinct convs is caught loudly: the second conv's
+    # turn_idx resets to 0, which under an equal "conv_id" trips the
+    # sortedness guard in _clustered_lag (ValueError), so the failure
+    # mode is a spurious error with ~n_adjacent/2^64 probability, never
+    # silent conv merging.
+    narrow = transcripts.select(
+        F.xxhash64("conv_id").alias("conv_id"),
+        *[f.name for f in in_schema.fields if f.name in need])
     out_schema = StructType(
         [StructField("metric", StringType(), False)]
         + [StructField(c, in_schema["ts"].dataType if c == "ts_hour"
