@@ -368,7 +368,6 @@ class TDigest:
             return np.array([0], dtype=np.intp)
         csum = np.cumsum(w)
         scale = self.scale
-        max_py = scale.max_py
         searchsorted = csum.searchsorted
         starts = [0]
         # position 1 never merges into cluster 0 (MergingDigest.java:433-436)
@@ -396,14 +395,28 @@ class TDigest:
             # scalar lookups; the vectorized scan remains as the exact
             # fallback whenever the endpoints disagree
             excess = csum - cap2
+            # cap0 at a cluster starting at s is total*max(csum[s-1]/
+            # total) = cap2[s-1] — already computed (max_py and the
+            # vectorized max_size are IEEE-identical elementwise, see
+            # test_invariants) — so the loop never calls the scale
+            # function.  For all-unit weights csum is exactly
+            # 1..n, making the cap0 horizon closed-form integer math
+            # (no searchsorted): count of csum values <= x is
+            # clamp(floor(x), 0, n).
+            unit = bool(w[0] == 1.0 and w[-1] == 1.0
+                        and (w == 1.0).all())
+            floor = math.floor
             while s < n - 1:
                 starts.append(s)
-                w_start = csum[s - 1]
-                # proposed <= total * min(max(q0), max(q2))
-                cap0 = total * max_py(w_start / total, normalizer)
-                # horizon from the q0 bound alone (an upper bound since the
-                # actual limit is a min with the q2 term)
-                hi = searchsorted(w_start + cap0, side="right") - 1
+                if unit:
+                    w_start = float(s)
+                    hi = int(floor(s + cap2[s - 1])) - 1
+                else:
+                    w_start = csum[s - 1]
+                    # horizon from the q0 bound alone (an upper bound
+                    # since the actual limit is a min with the q2 term)
+                    hi = searchsorted(w_start + cap2[s - 1],
+                                      side="right") - 1
                 if hi > n - 2:
                     hi = n - 2
                 if hi <= s:
