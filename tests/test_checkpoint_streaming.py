@@ -218,6 +218,64 @@ def test_streaming_digests(spark, workdir):
         assert abs(dist_cdf(d.quantile(qq), data) - qq) < 0.02
 
 
+def test_windowed_digests_late_data(spark, workdir):
+    """Event-time tumbling windows with LATE arrivals: rows for an old
+    window landing in a later micro-batch must fold into that window's
+    digest (window_start is an ordinary group key in the versioned
+    state, so late data merges instead of being dropped).  Small n per
+    window ⇒ medians are exact order statistics."""
+    from t_digest_spark.streaming.digest_stream import (
+        windowed_digest_query,
+    )
+    src = os.path.join(workdir, "wsrc")
+    state = os.path.join(workdir, "wstate")
+    ckpt = os.path.join(workdir, "wckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def drop(rows):
+        spark.createDataFrame(rows, "ts timestamp, v double") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    import datetime as dt
+    h0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    h1 = dt.datetime(2026, 1, 1, 11, 0, 0)
+    w0_batch1 = [(h0 + dt.timedelta(minutes=m), float(m)) for m in
+                 (1, 5, 9, 22, 40)]
+    w1_batch1 = [(h1 + dt.timedelta(minutes=m), 100.0 + m) for m in
+                 (3, 7)]
+    # batch 2: three LATE rows for hour-10 plus more hour-11 rows
+    w0_batch2 = [(h0 + dt.timedelta(minutes=m), float(m)) for m in
+                 (2, 30, 55)]
+    w1_batch2 = [(h1 + dt.timedelta(minutes=m), 100.0 + m) for m in
+                 (10, 20, 45)]
+
+    drop(w0_batch1 + w1_batch1)
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    q = windowed_digest_query(stream, "ts", "v", [], "1 hour",
+                              state, ckpt)
+    try:
+        q.processAllAvailable()
+        drop(w0_batch2 + w1_batch2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r.window_start: r for r in
+           read_digest_state(spark, state).collect()}
+    assert set(out) == {h0, h1}
+    d0 = TDigest.from_bytes(bytes(out[h0].digest))
+    d1 = TDigest.from_bytes(bytes(out[h1].digest))
+    # hour-10 window holds ALL 8 rows incl the 3 late ones: exact median
+    assert out[h0].rows == 8 and d0.size == 8
+    vals0 = sorted(v for _, v in w0_batch1 + w0_batch2)
+    assert d0.quantile(0.5) == pytest.approx(
+        (vals0[3] + vals0[4]) / 2, abs=1e-9) or \
+        vals0[3] <= d0.quantile(0.5) <= vals0[4]
+    assert out[h1].rows == 5 and d1.size == 5
+    vals1 = sorted(v for _, v in w1_batch1 + w1_batch2)
+    assert d1.quantile(0.5) == vals1[2]   # odd n ⇒ exact middle
+
+
 def test_stateful_digest_stream(spark, workdir):
     # applyInPandasWithState path: state lives in Spark's state store;
     # two micro-batches fold into one digest per key, exact vs raw data
