@@ -689,6 +689,26 @@ def _q_media_feature_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_resize_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize pipeline (operators/multimodal.py resize_images):
+    image payloads transform through the mapInPandas kernel (stub with
+    SQL-predictable output size), non-image rows pass through
+    byte-identical — n_bytes equality on those rows IS the
+    payload-equality invariant, oracle-checked."""
+    from t_digest_spark.operators.multimodal import (
+        media_from_documents, resize_images,
+    )
+    docs = load_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 30)
+    resized = resize_images(media_from_documents(docs), 64, 64)
+    return resized.select(
+        "media_id", "modality",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
 def _q_streaming_digest_smalln(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming digest fold (streaming/digest_stream.py
     stream_digests): readStream over the nation parquet, foreachBatch
@@ -757,6 +777,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_scores": _q_doc_quality_scores,
     "media_frame_plan": _q_media_frame_plan,
     "media_feature_probe": _q_media_feature_probe,
+    "media_resize_probe": _q_media_resize_probe,
     "streaming_digest_smalln": _q_streaming_digest_smalln,
 }
 
@@ -1109,6 +1130,26 @@ ORACLES: dict[str, str] = {
                CAST((sv * 2654435761 + 63 * 40503) % 1000 AS BIGINT)
                    AS code63
         FROM s
+    """,
+    # images: fake-resize payload size is max(16, (64*64)//128) = 32
+    # bytes, width/height overwritten; non-images pass through
+    # byte-identical (n_bytes = original octet length)
+    "media_resize_probe": """
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 32
+                         ELSE octet_length(encode(text)) END AS BIGINT)
+                   AS n_bytes,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 64
+                         WHEN doc_id % 3 = 1 THEN NULL
+                         ELSE 256 END AS BIGINT) AS width,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 64
+                         WHEN doc_id % 3 = 1 THEN NULL
+                         ELSE 256 END AS BIGINT) AS height
+        FROM documents WHERE doc_id < 30
     """,
     # the streamed fold ends at the same digest a batch aggregate
     # builds (merge associativity); n<=delta makes the median exact

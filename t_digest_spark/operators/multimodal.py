@@ -28,7 +28,7 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA", "FEATURE_SCHEMA", "synth_media", "decode_features",
     "frame_sample", "set_decoder", "media_from_documents",
-    "indexed_fake_decoder",
+    "indexed_fake_decoder", "resize_images",
 ]
 
 #: canonical multimodal table shape: id, modality, payload, metadata
@@ -187,6 +187,44 @@ def decode_features(media: DataFrame, dim: int = 64,
             })
 
     return media.select(*cols).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for an image resize kernel (no pillow in
+    this container): returns a payload whose length scales with the
+    target pixel count, derived from the source bytes.  Swap via the
+    ``resizer`` parameter of ``resize_images`` for a real codec."""
+    target = max(16, (w * h) // 128)
+    reps = target // max(len(payload), 1) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  resizer: Callable[[bytes, int, int], bytes]
+                  | None = None) -> DataFrame:
+    """Image resize over the media table: payload → resized payload via
+    mapInPandas (Arrow-batched binary in/out), width/height metadata
+    updated JVM-side semantics preserved in the output schema.  Only
+    image-modality rows are transformed; others pass through untouched
+    (payload equality — the multimodal analogue of the per-turn text
+    equality invariant).  The kernel is the stub (module docstring);
+    ``resizer`` is captured by value so an installed codec reaches
+    executors."""
+    kernel = resizer if resizer is not None else _fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["modality"] == "image"
+            out = pdf.copy()
+            out.loc[is_img, "payload"] = [
+                kernel(bytes(p), width, height)
+                for p in pdf.loc[is_img, "payload"]
+            ]
+            out.loc[is_img, "width"] = width
+            out.loc[is_img, "height"] = height
+            yield out
+
+    return media.mapInPandas(run, schema=media.schema)
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000,

@@ -313,6 +313,29 @@ def test_media_from_documents_and_explicit_decoder(spark):
         assert r.n_bytes == len(pay)
 
 
+def test_resize_images(spark):
+    from t_digest_spark.operators.multimodal import resize_images
+    media = synth_media(spark, n=30, partitions=2)
+    before = {r.media_id: r for r in media.collect()}
+    resized = resize_images(media, 128, 128).collect()
+    assert len(resized) == 30
+    for r in resized:
+        if r.modality == "image":
+            assert r.width == 128 and r.height == 128
+            assert len(r.payload) == (128 * 128) // 128
+        else:
+            # non-image rows pass through byte-identical (the
+            # multimodal analogue of the text-equality invariant)
+            assert bytes(r.payload) == bytes(before[r.media_id].payload)
+            assert r.duration_ms == before[r.media_id].duration_ms
+    # custom kernel is captured by value and reaches executors
+    tagged = resize_images(media, 8, 8,
+                           resizer=lambda p, w, h: b"RZ" + p[:4]).collect()
+    for r in tagged:
+        if r.modality == "image":
+            assert bytes(r.payload).startswith(b"RZ")
+
+
 def test_frame_sample(spark):
     media = synth_media(spark, n=30, partitions=2)
     frames = frame_sample(media, every_ms=1000, max_frames=4)
