@@ -280,10 +280,11 @@ class TDigest:
             # weighs 1, so equal means are indistinguishable and the
             # buffer can be value-sorted with introsort (no stable
             # mergesort, no index gather).  The live centroids are
-            # already sorted; splice them in AFTER equal buffer values
-            # (side='right'), which reproduces exactly what the stable
-            # argsort of [temp, centroids] yields (temp first among
-            # equals — README.md:35-42; Sort.java:37-43).
+            # already sorted; insert buffer values BEFORE equal
+            # centroids (side='left' against the centroid array), which
+            # reproduces exactly what the stable argsort of
+            # [temp, centroids] yields (temp first among equals —
+            # README.md:35-42; Sort.java:37-43).
             buf = np.sort(self._tmean[:self._tcount])
             if nc == 0:
                 m = buf
@@ -435,13 +436,19 @@ class TDigest:
                 else:                # none → cluster runs through hi
                     s = hi + 1
         else:
-            # same fast path for the k-limit sweep; here the pair test
-            # is exact (no min with a second cap): cluster at s absorbs
-            # s+1 iff csum[s+1] <= total*q(k(csum[s-1]/total)+1)
+            # same fast path for the k-limit sweep: cluster at s absorbs
+            # s+1 iff csum[s+1] <= total*q(k(csum[s-1]/total)+1).  The
+            # vectorized scale.k/scale.q (SIMD log/exp) can differ from
+            # the loop's k_py/q_py by ulps, so the early-exit predicate
+            # is widened by a relative slack: only skip the loop when NO
+            # pair is within 4 ulps of absorbing — exact-boundary cases
+            # fall through to the scalar loop, keeping the documented
+            # greedy semantics bit-identical.
             if n > 2:
                 w_lim = total * scale.q(
                     scale.k(csum[:-2] / total, normalizer) + 1, normalizer)
-                if not np.any(csum[2:] <= w_lim):
+                slack = 4 * np.finfo(np.float64).eps
+                if not np.any(csum[2:] <= w_lim + slack * np.abs(w_lim)):
                     return np.arange(n, dtype=np.intp)
             k_py, q_py = scale.k_py, scale.q_py
             while s < n - 1:
@@ -659,32 +666,40 @@ class TDigest:
         z2 = wsf_i + dw - index - right_unit
         x1, w1 = m[i], z2
         x2, w2 = m[i + 1], z1
-        interp = (x1 * w1 + x2 * w2) / (w1 + w2)
-        interp = np.clip(interp, np.minimum(x1, x2), np.maximum(x1, x2))
-        out = interp
-        # singleton spheres (no interpolation inside unit-weight centroids)
-        out = np.where((w[i + 1] == 1) & (wsf_i + dw - index <= 0.5),
-                       m[i + 1], out)
-        out = np.where((w[i] == 1) & (index - wsf_i < 0.5), m[i], out)
-        # fallthrough past the last interval: interpolate out to max
-        fz1 = index - total - w[n - 1] / 2.0
-        fz2 = w[n - 1] / 2 - fz1
-        fx = (m[n - 1] * fz1 + hi * fz2) / (fz1 + fz2)
-        fx = np.clip(fx, min(m[n - 1], hi), max(m[n - 1], hi))
-        # scalar loop falls through when no interval has
-        # weightSoFar + dw > index, i.e. index >= wsf[n-1]
-        out = np.where(index >= wsf[n - 1], fx, out)
-        # tails (evaluated last: they take precedence, matching the
-        # scalar early returns)
-        out = np.where(
-            (w[n - 1] > 1) & (total - index <= w[n - 1] / 2),
-            hi - (total - index - 1) / (w[n - 1] / 2 - 1) * (hi - m[n - 1]),
-            out)
-        out = np.where(index > total - 1, hi, out)
-        out = np.where(
-            (w[0] > 1) & (index < w[0] / 2),
-            lo + (index - 1) / (w[0] / 2 - 1) * (m[0] - lo),
-            out)
+        # every branch value is computed eagerly and masked by np.where,
+        # so 0/0 (two bracketing singletons: w1+w2==0; weight-2 tail
+        # centroid: w/2-1==0) is expected and masked — silence it like
+        # cdfs does below, rather than spamming executor logs.
+        with np.errstate(invalid="ignore", divide="ignore"):
+            interp = (x1 * w1 + x2 * w2) / (w1 + w2)
+            interp = np.clip(interp, np.minimum(x1, x2),
+                             np.maximum(x1, x2))
+            out = interp
+            # singleton spheres (no interpolation inside unit-weight
+            # centroids)
+            out = np.where((w[i + 1] == 1) & (wsf_i + dw - index <= 0.5),
+                           m[i + 1], out)
+            out = np.where((w[i] == 1) & (index - wsf_i < 0.5), m[i], out)
+            # fallthrough past the last interval: interpolate out to max
+            fz1 = index - total - w[n - 1] / 2.0
+            fz2 = w[n - 1] / 2 - fz1
+            fx = (m[n - 1] * fz1 + hi * fz2) / (fz1 + fz2)
+            fx = np.clip(fx, min(m[n - 1], hi), max(m[n - 1], hi))
+            # scalar loop falls through when no interval has
+            # weightSoFar + dw > index, i.e. index >= wsf[n-1]
+            out = np.where(index >= wsf[n - 1], fx, out)
+            # tails (evaluated last: they take precedence, matching the
+            # scalar early returns)
+            out = np.where(
+                (w[n - 1] > 1) & (total - index <= w[n - 1] / 2),
+                hi - (total - index - 1) / (w[n - 1] / 2 - 1)
+                * (hi - m[n - 1]),
+                out)
+            out = np.where(index > total - 1, hi, out)
+            out = np.where(
+                (w[0] > 1) & (index < w[0] / 2),
+                lo + (index - 1) / (w[0] / 2 - 1) * (m[0] - lo),
+                out)
         out = np.where(index < 1, lo, out)
         return out
 
@@ -980,10 +995,13 @@ def merge_blobs(blobs, compression: float | None = None, scale=None,
                                   offset=30).reshape(n, 2)
         else:
             raise ValueError(f"Invalid serialized digest format {encoding}")
+        if n == 0:
+            # skip before capturing comp so an empty first blob can't
+            # dictate the fallback compression (matches merge_digests,
+            # which filters size()>0 first)
+            continue
         if comp is None:
             comp = float(bcomp)
-        if n == 0:
-            continue
         weights.append(pairs[:, 0])
         means.append(pairs[:, 1])
         mn = min(mn, bmn)

@@ -391,7 +391,19 @@ def tdigest_aggregate(
     partials = partial_digests(df, value_col, group_cols, compression,
                                scale, buffer_size, weight_col)
     if tree == "auto":
-        tree = df.rdd.getNumPartitions() > 10_000
+        # Estimate stage-1 task count WITHOUT df.rdd (which forces a
+        # full RDD conversion of the plan — measurable on wide plans and
+        # illegal on streaming DataFrames).  inputFiles() is a metadata
+        # listing; for non-file plans fall back to the cluster's default
+        # parallelism, which bounds the partial-digest partition count
+        # for any shuffle-free stage 1.
+        try:
+            n_parts = len(df.inputFiles())
+        except Exception:
+            n_parts = 0
+        if n_parts == 0:
+            n_parts = df.sparkSession.sparkContext.defaultParallelism
+        tree = n_parts > 10_000
     if tree:
         return tree_merge(partials, group_cols, compression, scale, fanout)
     return merge_digests_df(partials, group_cols, compression, scale)

@@ -314,11 +314,13 @@ def test_stateful_digest_stream(spark, workdir):
         q.stop()
 
     rows = spark.sql("select * from stateful_digest").collect()
-    # memory sink in update mode appends updated rows per batch; take
-    # the LAST emission per key
+    # memory sink in update mode appends updated rows per batch, but
+    # collect() order is NOT guaranteed to follow emission order — pick
+    # the emission with the largest row count per key (state only grows)
     latest = {}
     for r in rows:
-        latest[r.g] = r
+        if r.g not in latest or r.rows > latest[r.g].rows:
+            latest[r.g] = r
     assert set(latest) == {"a", "b"}
     for g, r in latest.items():
         d = TDigest.from_bytes(bytes(r.digest))

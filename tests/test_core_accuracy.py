@@ -10,6 +10,9 @@ from t_digest_spark.core import TDigest
 
 from conftest import dist_cdf, dist_quantile
 
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
+
+
 Q_VALUES = np.array([0.001, 0.01, 0.1, 0.5, 0.9, 0.99, 0.999])
 N = 100_000
 

@@ -13,6 +13,9 @@ from t_digest_spark.scale import K_0
 
 from conftest import dist_cdf, dist_quantile
 
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
+
+
 
 def test_single_value():
     # TDigestTest.java:365-374

@@ -9,6 +9,8 @@ from t_digest_spark.scale import (
     K_0, K_1, K_1_FAST, K_2, K_3, K_2_NO_NORM, K_3_NO_NORM, get_scale,
 )
 
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
+
 NORMALIZED = [K_0, K_1, K_1_FAST, K_2, K_3]
 
 
@@ -270,4 +272,54 @@ def test_cluster_starts_matches_bruteforce_greedy():
             d = TDigest(comp, scale=scale_name)
             got = d._cluster_starts(w, total, norm).tolist()
             assert got == greedy(w, total, sc, norm), \
+                (scale_name, n, mode, comp)
+
+
+def test_cluster_starts_klimit_matches_bruteforce_greedy():
+    """Same brute-force-oracle check for the k-limit branch
+    (use_weight_limit=False, MergingDigest.java:404-419): cluster at s
+    absorbs members while csum[j] <= total*q(k(csum[s-1]/total)+1),
+    driven through the scalar k_py/q_py exactly as the production loop
+    is — so the vectorized all-singletons early exit (widened by an ulp
+    slack) must never change the result."""
+    from t_digest_spark.core import TDigest
+    from t_digest_spark.scale import get_scale
+
+    def greedy_k(w, total, scale, normalizer):
+        n = w.size
+        if n == 1:
+            return [0]
+        csum = np.cumsum(w)
+        starts = [0]
+        s = 1
+        while s < n - 1:
+            starts.append(s)
+            k1 = scale.k_py(csum[s - 1] / total, normalizer)
+            w_limit = total * scale.q_py(k1 + 1, normalizer)
+            e = s
+            while e + 1 <= n - 2 and csum[e + 1] <= w_limit:
+                e += 1
+            s = e + 1
+        if n >= 2:
+            starts.append(n - 1)
+        return starts
+
+    rng = np.random.default_rng(7)
+    for scale_name in ("K_0", "K_1", "K_2", "K_3"):
+        sc = get_scale(scale_name)
+        for trial in range(12):
+            n = int(rng.integers(3, 1500))
+            mode = trial % 3
+            if mode == 0:
+                w = np.ones(n)
+            elif mode == 1:
+                w = rng.integers(1, 50, size=n).astype(float)
+            else:
+                w = rng.uniform(0.1, 10.0, size=n)
+            total = w.sum()
+            comp = float(rng.choice([50.0, 100.0, 400.0]))
+            norm = sc.normalizer(comp, total)
+            d = TDigest(comp, scale=scale_name, use_weight_limit=False)
+            got = d._cluster_starts(w, total, norm).tolist()
+            assert got == greedy_k(w, total, sc, norm), \
                 (scale_name, n, mode, comp)

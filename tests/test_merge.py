@@ -9,6 +9,9 @@ from t_digest_spark.core import TDigest, merge_digests
 
 from conftest import dist_cdf
 
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
+
+
 N = 100_000
 QS = np.array([0.001, 0.01, 0.1, 0.5, 0.9, 0.99, 0.999])
 

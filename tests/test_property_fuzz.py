@@ -23,6 +23,9 @@ from t_digest_spark.core import TDigest, merge_digests
 
 from conftest import dist_cdf
 
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
+
+
 finite_floats = st.floats(allow_nan=False, allow_infinity=False,
                           min_value=-1e12, max_value=1e12)
 
