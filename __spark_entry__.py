@@ -453,6 +453,50 @@ def _q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("hamming").cast("int").alias("hamming")))
 
 
+def _q_minhash_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scale keep/drop dedup (operators/dedup.py minhash_dedup):
+    a planted cluster of 1,000 identical documents (distinctive
+    synthetic text absent from the corpus, ids 1,000,000..1,000,999) is
+    appended to the sf documents table and the full verified dedup —
+    signatures, banding, O(k) candidate edges, exact-Jaccard edge
+    verification, min-label component propagation — runs over
+    corpus+cluster together.  Every planted doc must map to
+    rep_id 1,000,000 with exactly one keeper.  n_cand_edges reports the
+    operator's candidate volume inside the cluster: 2k-3 = 1,997
+    chain+min edges (bucket_candidate_edges), evidence the decision
+    path is O(k) and never materializes the 499,500 pairs.
+
+    Why the oracle is the planted construction: component membership of
+    the NATURAL corpus is connected components over near-dup edges —
+    not expressible in single-pass SQL — while the planted cluster's
+    correct answer is exact and data-independent (identical text ⇒
+    jaccard-1 verified edges ⇒ one component with min id 1,000,000,
+    found with probability 1 under the fixed seed).  Natural docs are
+    still in the run: they can steal bucket minima and band buckets,
+    and the chain+min edge set plus jaccard verification must shrug
+    that off for the cluster rows to come out right."""
+    from t_digest_spark.operators.dedup import (
+        bucket_candidate_edges, minhash_buckets, minhash_dedup)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    k = 1000
+    planted = spark.range(k).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit("synthetic boilerplate paragraph planted for the dedup "
+              "cluster oracle with deliberately distinctive vocabulary "
+              "kumquat zeppelin quasar marzipan obelisk").alias("text"))
+    both = docs.unionByName(planted)
+    dec = minhash_dedup(both, "text", "doc_id", k_shingle=5,
+                        num_perm=64, bands=16, threshold=0.8)
+    cluster = dec.where(F.col("doc_id") >= 1_000_000)
+    cand = bucket_candidate_edges(
+        minhash_buckets(both, "text", "doc_id", 5, 64, 16)
+        .where(F.col("doc_id") >= 1_000_000), "doc_id")
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_cand_edges"))
+    return (cluster.crossJoin(n_cand)
+            .select("doc_id", "rep_id", "is_keeper", "n_cand_edges"))
+
+
 def _q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH near-dup over embeddings
     (operators/dedup.py embedding_cosine_pairs, 4 bands x 16 planes).
@@ -763,6 +807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_agreement": _q_lang_id_agreement,
     "minhash_pairs": _q_minhash_pairs,
     "simhash_neardup_pairs": _q_simhash_neardup_pairs,
+    "minhash_dedup_cluster": _q_minhash_dedup_cluster,
     "embedding_neardup_pairs": _q_embedding_neardup_pairs,
     "ann_topk": _q_ann_topk,
     "ivf_recall": _q_ivf_recall,
@@ -940,6 +985,13 @@ ORACLES: dict[str, str] = {
                CAST(doc_id + 1000000 AS BIGINT) AS id_b,
                0 AS hamming
         FROM documents WHERE doc_id % 10 = 0
+    """,
+    "minhash_dedup_cluster": """
+        SELECT CAST(1000000 + i AS BIGINT) AS doc_id,
+               CAST(1000000 AS BIGINT) AS rep_id,
+               (i = 0) AS is_keeper,
+               CAST(1997 AS BIGINT) AS n_cand_edges
+        FROM range(1000) t(i)
     """,
     "embedding_neardup_pairs": """
         WITH base AS (

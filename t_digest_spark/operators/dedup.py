@@ -36,7 +36,9 @@ from .text import fingerprint, shingle_fingerprints
 __all__ = [
     "exact_dedup", "exact_dup_groups", "minhash_signature",
     "minhash_lsh_pairs", "simhash", "simhash_pairs", "ngram_jaccard",
-    "embedding_cosine_pairs",
+    "embedding_cosine_pairs", "lsh_components", "minhash_dedup",
+    "simhash_dedup", "embedding_dedup", "minhash_buckets",
+    "bucket_min_edges", "bucket_candidate_edges",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -147,6 +149,17 @@ def minhash_signature(shingles_col, num_perm: int = 64,
     return f(shingles_col)
 
 
+def _band_keys(sig_col: str, bands: int, rows_per_band: int):
+    """posexplode(band -> xxhash64 of that signature slice) as
+    (__band, __key) — the shared LSH banding for pairs and dedup."""
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    return F.posexplode(F.transform(
+        band_idx,
+        lambda i: F.xxhash64(F.concat_ws(
+            ",", F.slice(sig_col, i * rows_per_band + 1,
+                         rows_per_band))))).alias("__band", "__key")
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k_shingle: int = 5,
                       num_perm: int = 64, bands: int = 16,
@@ -163,26 +176,28 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         shingle_fingerprints(text_col, k_shingle).alias("__sh"),
     ).withColumn("__sig", minhash_signature("__sh", num_perm))
 
-    # band key: hash of each signature slice; explode to (band, key, id)
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sigs.select(
-        id_col, "__sig",
-        F.posexplode(F.transform(
-            band_idx,
-            lambda i: F.xxhash64(F.concat_ws(
-                ",", F.slice("__sig", i * rows_per_band + 1,
-                             rows_per_band))))).alias("__band", "__key"),
-    )
+    # band key: hash of each signature slice; explode to (band, key, id).
+    # The candidate join carries ONLY ids — a pair colliding in several
+    # bands produces several candidate rows, and shipping the
+    # num_perm-long signatures on each of them through the shuffle
+    # before dropDuplicates is pure waste at duplicate-cluster scale;
+    # the two signature columns are re-joined once per DISTINCT pair.
+    banded = sigs.select(id_col, _band_keys("__sig", bands,
+                                            rows_per_band))
     cand = (banded.alias("l")
             .join(banded.alias("r"),
                   on=[F.col("l.__band") == F.col("r.__band"),
                       F.col("l.__key") == F.col("r.__key"),
                       F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
             .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"),
-                    F.col("l.__sig").alias("__sig_a"),
-                    F.col("r.__sig").alias("__sig_b"))
+                    F.col(f"r.{id_col}").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
+    sig_only = sigs.select(id_col, "__sig")
+    cand = (cand
+            .join(sig_only.select(F.col(id_col).alias("id_a"),
+                                  F.col("__sig").alias("__sig_a")), "id_a")
+            .join(sig_only.select(F.col(id_col).alias("id_b"),
+                                  F.col("__sig").alias("__sig_b")), "id_b"))
     # signature-estimated jaccard (fraction of matching minhashes)
     est = cand.withColumn(
         "jaccard",
@@ -264,8 +279,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     width = 64 // n_chunks
     mask = (1 << width) - 1
     sh = df.select(F.col(id_col), simhash(text_col).alias("__simhash"))
+    # candidate join on ids only (see minhash_lsh_pairs); simhashes are
+    # re-joined per distinct pair, not carried on every candidate row
     chunks = sh.select(
-        id_col, "__simhash",
+        id_col,
         F.posexplode(F.array(*[
             F.shiftrightunsigned("__simhash", i * width).bitwiseAND(mask)
             for i in range(n_chunks)
@@ -276,10 +293,13 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                       F.col("l.__ckey") == F.col("r.__ckey"),
                       F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
             .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"),
-                    F.col("l.__simhash").alias("__ha"),
-                    F.col("r.__simhash").alias("__hb"))
+                    F.col(f"r.{id_col}").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
+    cand = (cand
+            .join(sh.select(F.col(id_col).alias("id_a"),
+                            F.col("__simhash").alias("__ha")), "id_a")
+            .join(sh.select(F.col(id_col).alias("id_b"),
+                            F.col("__simhash").alias("__hb")), "id_b"))
     return (cand.withColumn(
         "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))))
         .where(F.col("hamming") <= max_hamming)
@@ -323,19 +343,27 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
                 out[j] = row
         return pd.Series(out)
 
-    b = df.select(F.col(id_col),
-                  F.col(vec_col).cast("array<double>").alias("__v"),
-                  F.posexplode(buckets(vec_col)).alias("__band", "__bucket"))
+    vecs = df.select(F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("__v"))
+    # candidate join on ids only (see minhash_lsh_pairs); the dim-long
+    # vectors are re-joined per distinct pair, not carried on every
+    # candidate row through the bucket-join shuffle
+    b = vecs.select(F.col(id_col),
+                    F.posexplode(buckets("__v")).alias("__band",
+                                                       "__bucket"))
     cand = (b.alias("l")
             .join(b.alias("r"),
                   on=[F.col("l.__band") == F.col("r.__band"),
                       F.col("l.__bucket") == F.col("r.__bucket"),
                       F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
             .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"),
-                    F.col("l.__v").alias("__va"),
-                    F.col("r.__v").alias("__vb"))
+                    F.col(f"r.{id_col}").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
+    cand = (cand
+            .join(vecs.select(F.col(id_col).alias("id_a"),
+                              F.col("__v").alias("__va")), "id_a")
+            .join(vecs.select(F.col(id_col).alias("id_b"),
+                              F.col("__v").alias("__vb")), "id_b"))
     dot = F.aggregate(
         F.zip_with("__va", "__vb", lambda x, y: x * y),
         F.lit(0.0), lambda acc, v: acc + v)
@@ -346,3 +374,276 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
     return (cand.withColumn("cosine", dot / (na * nb))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+# ----------------------------------------------------------------------
+# cluster-scale keep/drop dedup (no O(k^2) pair materialization)
+# ----------------------------------------------------------------------
+#
+# A crawl-scale corpus has duplicate CLUSTERS of thousands of near-
+# identical documents.  Listing pairs is O(k^2) per cluster; the
+# decision a 100 TB pipeline actually needs is per-document keep/drop.
+# These operators compute connected components of the id-bucket
+# bipartite graph by alternating min-label propagation (hash-to-min):
+# every step is a plain (key, long) shuffle, so a cluster of k members
+# in b bands costs O(k*b) rows total — never k^2.
+
+
+def lsh_components(edges: DataFrame, id_col: str = "doc_id",
+                   bucket_col: str = "__bucket",
+                   max_iter: int = 10) -> DataFrame:
+    """Connected components of a bipartite (id, bucket) graph.
+
+    Returns (id_col, rep_id) where rep_id is the component-wide minimum
+    id.  Alternating min-label propagation: each round sets every
+    bucket's label to the min label of its members, then every member's
+    label to the min label of its buckets.  Labels only ever decrease,
+    so a round that changes nothing is a fixpoint; rounds needed equal
+    the component diameter in bucket-hops (2-3 for LSH duplicate
+    clusters, which are near-cliques).  Each round is two shuffles of
+    (key, label) rows — O(E) — plus one O(E) action for the
+    convergence check; ``localCheckpoint`` truncates the iterative
+    lineage (on a production cluster with flaky executors, set
+    ``spark.sparkContext.setCheckpointDir`` and swap for ``checkpoint``).
+    """
+    e = (edges.select(F.col(id_col).alias("__id"),
+                      F.col(bucket_col).alias("__b"))
+         .dropDuplicates(["__id", "__b"])
+         .localCheckpoint(eager=False))
+    labels = (e.select("__id").distinct()
+              .withColumn("__rep", F.col("__id")))
+    for _ in range(max_iter):
+        bmin = (e.join(labels, "__id")
+                .groupBy("__b").agg(F.min("__rep").alias("__bmin")))
+        new = (e.join(bmin, "__b")
+               .groupBy("__id").agg(F.min("__bmin").alias("__nmin")))
+        merged = (labels.join(new, "__id", "left")
+                  .select(F.col("__id"),
+                          F.least(F.col("__rep"),
+                                  F.coalesce("__nmin", "__rep"))
+                          .alias("__rep"),
+                          (F.col("__nmin") < F.col("__rep"))
+                          .alias("__chg"))
+                  .localCheckpoint(eager=True))
+        changed = merged.where("__chg").limit(1).count()
+        labels = merged.select("__id", "__rep")
+        if changed == 0:
+            break
+    return labels.select(F.col("__id").alias(id_col),
+                         F.col("__rep").alias("rep_id"))
+
+
+def _dedup_decisions(ids_and_buckets: DataFrame, id_col: str,
+                     verified_edges: DataFrame | None,
+                     max_iter: int) -> DataFrame:
+    """(id, rep_id, is_keeper) from either the raw bucket graph or a
+    verified edge list (each edge re-expressed as a 2-member bucket)."""
+    if verified_edges is None:
+        comp = lsh_components(ids_and_buckets, id_col, "__bucket",
+                              max_iter)
+    else:
+        # verified (id, rep) edges -> hyperedges keyed by the edge pair
+        ek = F.xxhash64(F.col("id_a"), F.col("id_b")).alias("__bucket")
+        both = (verified_edges.select(F.col("id_a").alias(id_col), ek)
+                .unionByName(
+                    verified_edges.select(F.col("id_b").alias(id_col),
+                                          ek)))
+        comp = lsh_components(both, id_col, "__bucket", max_iter)
+        # docs with no verified edge stay their own representative
+        all_ids = ids_and_buckets.select(id_col).distinct()
+        comp = (all_ids.join(comp, id_col, "left")
+                .select(id_col,
+                        F.coalesce("rep_id", F.col(id_col))
+                        .alias("rep_id")))
+    return comp.withColumn("is_keeper", F.col("rep_id") == F.col(id_col))
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k_shingle: int = 5,
+                  num_perm: int = 64, bands: int = 16,
+                  threshold: float | None = None,
+                  max_iter: int = 10) -> DataFrame:
+    """Keep/drop MinHash-LSH dedup: (id, rep_id, is_keeper), rep_id =
+    min id of the duplicate component.  Never materializes pairs.
+
+    ``threshold=None`` (default, the standard crawl-pipeline setting):
+    band-bucket co-occurrence IS the duplicate edge — banding
+    parameters set the effective jaccard cut.  With a ``threshold``,
+    each member is exact-Jaccard-verified against its bucket's min-id
+    member only (O(k) verifications per bucket, not O(k^2) pairs) and
+    components run over the surviving edges; this conservatively splits
+    clusters whose members connect only through a failing hub, and
+    never merges documents with no verified path."""
+    sigs = df.select(
+        F.col(id_col),
+        shingle_fingerprints(text_col, k_shingle).alias("__sh"),
+    ).withColumn("__sig", minhash_signature("__sh", num_perm))
+    banded = minhash_buckets(df, text_col, id_col, k_shingle, num_perm,
+                             bands, _sigs=sigs)
+    if threshold is None:
+        return _dedup_decisions(banded, id_col, None, max_iter)
+    sh = sigs.select(id_col, "__sh")
+    verified = (bucket_candidate_edges(banded, id_col)
+                .join(sh.select(F.col(id_col).alias("id_a"),
+                                F.col("__sh").alias("__sa")), "id_a")
+                .join(sh.select(F.col(id_col).alias("id_b"),
+                                F.col("__sh").alias("__sb")), "id_b")
+                .where(ngram_jaccard("__sa", "__sb") >= threshold)
+                .select("id_a", "id_b"))
+    return _dedup_decisions(banded, id_col, verified, max_iter)
+
+
+def minhash_buckets(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k_shingle: int = 5,
+                    num_perm: int = 64, bands: int = 16,
+                    _sigs: DataFrame | None = None) -> DataFrame:
+    """(id, __bucket) LSH band-bucket table — the candidate structure
+    minhash_dedup clusters over, exposed so pipelines can audit
+    candidate volume (e.g. bucket_min_edges counts are O(k) per
+    duplicate cluster)."""
+    rows_per_band = num_perm // bands
+    if _sigs is None:
+        _sigs = df.select(
+            F.col(id_col),
+            shingle_fingerprints(text_col, k_shingle).alias("__sh"),
+        ).withColumn("__sig", minhash_signature("__sh", num_perm))
+    return (_sigs.select(id_col,
+                         _band_keys("__sig", bands, rows_per_band))
+            .select(id_col,
+                    F.xxhash64("__band", "__key").alias("__bucket")))
+
+
+def bucket_min_edges(ids_and_buckets: DataFrame,
+                     id_col: str) -> DataFrame:
+    """Distinct (id_a=bucket-min, id_b=member) candidate edges — O(k)
+    per bucket instead of the O(k^2) within-bucket pair join."""
+    bmin = (ids_and_buckets.groupBy("__bucket")
+            .agg(F.min(id_col).alias("id_a")))
+    return (ids_and_buckets.join(bmin, "__bucket")
+            .where(F.col(id_col) != F.col("id_a"))
+            .select("id_a", F.col(id_col).alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+
+_bucket_min_edges = bucket_min_edges
+
+
+def bucket_candidate_edges(ids_and_buckets: DataFrame,
+                           id_col: str) -> DataFrame:
+    """O(k)-per-bucket candidate edges for verified dedup: the union of
+    member-vs-bucket-min edges and CONSECUTIVE-member edges (id order
+    within the bucket), ~2k-3 distinct edges for a k-member bucket.
+
+    Why both: min-only verification has a hub failure mode — when the
+    bucket's min id is a non-duplicate that collided in (e.g. a 16-bit
+    simhash chunk at corpus scale), every tested edge involves the hub
+    and fails, splitting a genuine duplicate run.  The consecutive
+    chain keeps any contiguous duplicate run connected no matter who
+    the min is; the min edges bridge runs separated by a single
+    interloper.  Residual risk (two duplicates separated by >=2
+    interleaved interlopers with a non-dup min, in EVERY band they
+    co-occur in) falls off with the OR-redundancy of the bands."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("__bucket").orderBy(id_col)
+    chain = (ids_and_buckets
+             .withColumn("__prev", F.lag(id_col).over(w))
+             .where(F.col("__prev").isNotNull()
+                    & (F.col("__prev") != F.col(id_col)))
+             .select(F.col("__prev").alias("id_a"),
+                     F.col(id_col).alias("id_b")))
+    return (chain.unionByName(bucket_min_edges(ids_and_buckets, id_col))
+            .dropDuplicates(["id_a", "id_b"]))
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  verify: bool = True,
+                  max_iter: int = 10) -> DataFrame:
+    """Keep/drop SimHash dedup: (id, rep_id, is_keeper) via pigeonhole
+    chunk buckets (see simhash_pairs).  With ``verify`` (default), each
+    member is Hamming-checked against its bucket's min-id member only —
+    O(k) per bucket — and components run over surviving edges; without,
+    chunk co-occurrence is the edge."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    sh = df.select(F.col(id_col), simhash(text_col).alias("__simhash"))
+    chunks = (sh.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("__simhash", i * width).bitwiseAND(mask)
+            for i in range(n_chunks)
+        ])).alias("__chunk", "__ckey"))
+        .select(id_col,
+                F.xxhash64("__chunk", "__ckey").alias("__bucket")))
+    if not verify:
+        return _dedup_decisions(chunks, id_col, None, max_iter)
+    verified = (bucket_candidate_edges(chunks, id_col)
+                .join(sh.select(F.col(id_col).alias("id_a"),
+                                F.col("__simhash").alias("__ha")), "id_a")
+                .join(sh.select(F.col(id_col).alias("id_b"),
+                                F.col("__simhash").alias("__hb")), "id_b")
+                .where(F.bit_count(
+                    F.col("__ha").bitwiseXOR(F.col("__hb")))
+                    <= max_hamming)
+                .select("id_a", "id_b"))
+    return _dedup_decisions(chunks, id_col, verified, max_iter)
+
+
+def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id", n_planes: int = 16,
+                    n_bands: int = 4,
+                    threshold: float | None = 0.95,
+                    seed: int = 13, dim: int | None = None,
+                    max_iter: int = 10) -> DataFrame:
+    """Keep/drop embedding dedup: (id, rep_id, is_keeper) via banded
+    hyperplane-LSH buckets (see embedding_cosine_pairs).  With a
+    ``threshold`` (default), members are cosine-verified against the
+    bucket min-id member only (O(k) per bucket); ``threshold=None``
+    treats bucket co-occurrence as the edge."""
+    # reuse the pair operator's bucketing by projecting ids+buckets out
+    # of its candidate stage: rebuild the bucket table directly
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_bands, n_planes, dim)).astype(np.float64)
+    weights = (1 << np.arange(n_planes, dtype=np.uint64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vs: pd.Series) -> pd.Series:
+        mask = vs.notna().to_numpy()
+        out: list = [None] * len(vs)
+        if mask.any():
+            x = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in vs[mask]])
+            sig = np.einsum("bpd,rd->rbp", planes, x) > 0
+            codes = (sig.astype(np.uint64) * weights).sum(axis=2) \
+                .astype(np.int64).tolist()
+            for j, row in zip(np.flatnonzero(mask), codes):
+                out[j] = row
+        return pd.Series(out)
+
+    vecs = df.select(F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("__v"))
+    b = (vecs.select(id_col,
+                     F.posexplode(buckets("__v")).alias("__band",
+                                                        "__bucket0"))
+         .select(id_col,
+                 F.xxhash64("__band", "__bucket0").alias("__bucket")))
+    if threshold is None:
+        return _dedup_decisions(b, id_col, None, max_iter)
+    dot = F.aggregate(F.zip_with("__va", "__vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform("__va", lambda x: x * x),
+                            F.lit(0.0), lambda a, v: a + v))
+    nb = F.sqrt(F.aggregate(F.transform("__vb", lambda x: x * x),
+                            F.lit(0.0), lambda a, v: a + v))
+    verified = (bucket_candidate_edges(b, id_col)
+                .join(vecs.select(F.col(id_col).alias("id_a"),
+                                  F.col("__v").alias("__va")), "id_a")
+                .join(vecs.select(F.col(id_col).alias("id_b"),
+                                  F.col("__v").alias("__vb")), "id_b")
+                .where(dot / (na * nb) >= threshold)
+                .select("id_a", "id_b"))
+    return _dedup_decisions(b, id_col, verified, max_iter)

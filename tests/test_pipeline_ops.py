@@ -133,6 +133,127 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_lsh_components_chain(spark):
+    """Min-label propagation must follow transitive bucket links: a
+    chain 1-2, 2-3, 3-4 through distinct buckets converges to rep 1
+    (diameter 3 > one round), and isolated nodes keep themselves."""
+    from t_digest_spark.operators.dedup import lsh_components
+    edges = spark.createDataFrame(
+        [(1, 100), (2, 100), (2, 200), (3, 200), (3, 300), (4, 300),
+         (9, 900)], "doc_id long, __bucket long")
+    got = {r.doc_id: r.rep_id
+           for r in lsh_components(edges, "doc_id").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_minhash_dedup_cluster(spark):
+    """A planted cluster of identical docs all map to the min id with
+    exactly one keeper, in both bucket-edge and verified modes — and
+    the candidate volume is O(k) edges, never O(k^2) pairs."""
+    from t_digest_spark.operators.dedup import (
+        minhash_dedup, _bucket_min_edges)
+    k = 40
+    rows = [(i, f"unique document number {i} about topic {i * 13}")
+            for i in range(20)]
+    rows += [(1000 + j, "identical boilerplate text repeated across "
+              "the whole duplicate cluster again and again")
+             for j in range(k)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (None, 0.8):
+        dec = {r.doc_id: (r.rep_id, r.is_keeper)
+               for r in minhash_dedup(sdf, num_perm=32, bands=8,
+                                      threshold=thr).collect()}
+        assert len(dec) == 20 + k
+        for j in range(k):
+            assert dec[1000 + j] == (1000, j == 0), (thr, j)
+        assert sum(1 for _, keep in dec.values() if keep) == 21
+
+
+def test_minhash_dedup_verified_rejects_false_bucket(spark):
+    """threshold mode must NOT merge docs that collide in a band but
+    fail exact-Jaccard verification (forced here with bands == num_perm
+    so a single matching minhash makes a candidate)."""
+    from t_digest_spark.operators.dedup import minhash_dedup
+    a = "the quick brown fox jumps over the lazy dog tonight again"
+    b = "a completely different sentence sharing dog tonight maybe"
+    sdf = spark.createDataFrame(
+        [(1, a), (2, a), (3, b)], "doc_id long, text string")
+    dec = {r.doc_id: r.rep_id
+           for r in minhash_dedup(sdf, num_perm=8, bands=8,
+                                  threshold=0.9).collect()}
+    assert dec[1] == 1 and dec[2] == 1
+    assert dec[3] == 3          # never merged without a verified edge
+
+
+def test_simhash_dedup_cluster(spark):
+    from t_digest_spark.operators.dedup import simhash_dedup
+    rows = [(i, f"unique document number {i} about topic {i * 13}")
+            for i in range(10)]
+    rows += [(500 + j, "same text for every member of this cluster")
+             for j in range(25)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    for verify in (True, False):
+        dec = {r.doc_id: (r.rep_id, r.is_keeper)
+               for r in simhash_dedup(sdf, verify=verify).collect()}
+        for j in range(25):
+            assert dec[500 + j] == (500, j == 0), (verify, j)
+
+
+def test_embedding_dedup_cluster(spark):
+    from t_digest_spark.operators.dedup import embedding_dedup
+    rng = np.random.default_rng(3)
+    base = [(int(i), rng.normal(size=16).tolist()) for i in range(12)]
+    twins = [(int(700 + j),
+              (np.asarray(base[0][1]) * (1 + 1e-4 * j)).tolist())
+             for j in range(6)]
+    sdf = spark.createDataFrame(base + twins,
+                                "vec_id long, embedding array<double>")
+    for thr in (0.95, None):
+        dec = {r.vec_id: (r.rep_id, r.is_keeper)
+               for r in embedding_dedup(sdf, threshold=thr).collect()}
+        assert dec[0] == (0, True)
+        for j in range(6):
+            assert dec[700 + j] == (0, False), (thr, j)
+        # unrelated vectors stay keepers of themselves (cosine ~0
+        # buckets rarely collide across all 16 planes of a band; with
+        # threshold set, verification guarantees it)
+        if thr is not None:
+            for i in range(1, 12):
+                assert dec[i] == (i, True), i
+
+
+def test_bucket_min_edges_linear_in_cluster_size(spark):
+    """The verification edge set for one bucket of k members is k-1
+    rows (member vs bucket-min), not k*(k-1)/2 pairs."""
+    from t_digest_spark.operators.dedup import _bucket_min_edges
+    k = 50
+    b = spark.createDataFrame([(i, 42) for i in range(k)],
+                              "doc_id long, __bucket long")
+    edges = _bucket_min_edges(b, "doc_id").collect()
+    assert len(edges) == k - 1
+    assert all(e.id_a == 0 for e in edges)
+
+
+def test_bucket_candidate_edges_hub_robust(spark):
+    """Chain+min edges: a non-duplicate bucket-min 'hub' must not
+    disconnect the true duplicate run — consecutive edges keep it
+    linked; total edges stay O(k) (2k-3 for one bucket)."""
+    from t_digest_spark.operators.dedup import bucket_candidate_edges
+    b = spark.createDataFrame([(i, 42) for i in (0, 5, 7, 9)],
+                              "doc_id long, __bucket long")
+    edges = {(e.id_a, e.id_b)
+             for e in bucket_candidate_edges(b, "doc_id").collect()}
+    # chain: (0,5),(5,7),(7,9); min: (0,5),(0,7),(0,9)
+    assert edges == {(0, 5), (5, 7), (7, 9), (0, 7), (0, 9)}
+    # were 0 a non-dup hub, the (5,7),(7,9) chain alone still connects
+    # the duplicate run {5,7,9}
+    k = 60
+    big = spark.createDataFrame([(i, 1) for i in range(k)],
+                                "doc_id long, __bucket long")
+    n = bucket_candidate_edges(big, "doc_id").count()
+    assert n == 2 * k - 3
+
+
 def test_mulmod61_matches_bigint_arithmetic():
     """The MinHash permutation must be the true (a,b)-universal family
     (a*h + b) mod (2^61-1) — _mulmod61 must agree with arbitrary-
