@@ -123,17 +123,26 @@ def main():
         timings[name] = round(dt, 3)
         rates[name] = round(n_in / dt, 1)
         total += dt
-    # second pass: warm steady-state (first execution of each query
-    # shape pays one-time Catalyst planning / codegen / UDF pickling —
-    # ~1.5-2s, which dwarfs the sub-second small-table queries)
-    warm_timings = {}
+    # warm steady-state passes (first execution of each query shape
+    # pays one-time Catalyst planning / codegen / UDF pickling —
+    # ~1.5-2s, which dwarfs the sub-second small-table queries).
+    # MEDIAN OF 3 per query: the sandbox host throttles unpredictably
+    # (a single warm run of q3 once measured 19.4s vs 6.1s cold in the
+    # same process), so single-shot warm numbers carry no round-over-
+    # round signal; the raw samples are kept for transparency.
+    warm_samples: dict[str, list[float]] = {n: [] for n in queries}
     warm_rates = {}
-    for name, fn in queries.items():
-        t0 = time.perf_counter()
-        _rows, n_in = fn(spark)
-        dt = time.perf_counter() - t0
-        warm_timings[name] = round(dt, 3)
-        warm_rates[name] = round(n_in / dt, 1)
+    for _rep in range(3):
+        for name, fn in queries.items():
+            t0 = time.perf_counter()
+            _rows, n_in = fn(spark)
+            dt = time.perf_counter() - t0
+            warm_samples[name].append(round(dt, 3))
+            warm_rates[name] = n_in
+    warm_timings = {n: sorted(s)[len(s) // 2]
+                    for n, s in warm_samples.items()}
+    warm_rates = {n: round(warm_rates[n] / warm_timings[n], 1)
+                  for n in queries}
     spark.stop()
 
     # single-thread core ingest figure (comparable to the reference's
@@ -161,10 +170,12 @@ def main():
         "metric": "tdigest headline queries wall-clock",
         "value": round(total, 3),
         "unit": "sec",
+        "value_warm_median": round(sum(warm_timings.values()), 3),
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "rows_per_sec": rates,
         "queries_warm": warm_timings,
+        "queries_warm_samples": warm_samples,
         "rows_per_sec_warm": warm_rates,
         "core_ns_per_point_1thread": round(_core_ns, 1),
         "reference_ns_per_point_1thread": 140.0,
