@@ -78,14 +78,31 @@ def stream_digests(
     trigger_seconds: int | None = None,
     max_versions: int = 3,
     query_name: str = "tdigest-stream",
+    expire_col: str | None = None,
+    retention: str | float | None = None,
 ):
     """Start a streaming query folding ``stream_df`` into per-key digests.
 
     Each micro-batch: partial digests of the batch → union with current
     state → merge per key → write a new state version (atomic via
     version directories; readers always see a complete snapshot).
-    """
+
+    ``expire_col``/``retention``: watermark-style state expiry.  After
+    each fold, key rows whose ``expire_col`` (a timestamp or numeric
+    group column, e.g. the window start) trails the maximum observed
+    value by more than ``retention`` ("1 hour", "90 minutes", or
+    seconds) are dropped from state — so an always-on windowed
+    monitoring stream holds a bounded trailing horizon instead of one
+    row per window forever (the reference's monitoring scenario keeps
+    a trailing hour — core ComparisonTest.java:38-127).  A row later
+    than the horizon is dropped on arrival, standard watermark
+    semantics; without these options state never expires (every key
+    is kept, late data always folds in)."""
     group_cols = list(group_cols)
+    if (expire_col is None) != (retention is None):
+        raise ValueError("expire_col and retention must be set together")
+    retention_s = _parse_retention(retention) if retention is not None \
+        else None
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -99,6 +116,8 @@ def stream_digests(
             partials = partials.unionByName(
                 prev.select(*group_cols, DIGEST_FIELD, "rows"))
         merged = merge_digests_df(partials, group_cols, compression, scale)
+        if expire_col is not None:
+            merged = _expire(merged, expire_col, retention_s)
         out = os.path.join(state_dir, f"v_{batch_id:012d}")
         tmp = out + ".tmp"
         _rmtree(tmp)
@@ -128,6 +147,36 @@ def _rmtree(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def _parse_retention(retention: str | float) -> float:
+    """'1 hour' / '90 minutes' / numeric seconds → seconds."""
+    if isinstance(retention, (int, float)):
+        return float(retention)
+    import pandas as pd
+
+    return float(pd.Timedelta(retention).total_seconds())
+
+
+def _expire(merged: DataFrame, expire_col: str,
+            retention_s: float) -> DataFrame:
+    """Drop state rows whose expire_col trails the state-wide max by
+    more than retention_s.  The max is taken with an unpartitioned
+    window — one task over the state table, which is sketch rows
+    (~1 KB per live key), never raw data, so no scale concern."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import TimestampType
+
+    col = F.col(expire_col)
+    if isinstance(merged.schema[expire_col].dataType, TimestampType):
+        # cast keeps sub-second precision (epoch seconds as double)
+        col = col.cast("double")
+    w = Window.partitionBy()
+    return (merged
+            .withColumn("__ts", col)
+            .withColumn("__mx", F.max("__ts").over(w))
+            .where(F.col("__ts") >= F.col("__mx") - F.lit(retention_s))
+            .drop("__ts", "__mx"))
+
+
 def windowed_digest_query(
     stream_df: DataFrame,
     ts_col: str,
@@ -140,10 +189,17 @@ def windowed_digest_query(
     **kwargs,
 ):
     """Tumbling-event-time-window digests: adds ``window_start`` to the
-    group keys and folds as in ``stream_digests``."""
+    group keys and folds as in ``stream_digests``.
+
+    Pass ``retention`` ("1 hour", seconds, ...) to keep only the
+    trailing horizon of windows in state — without it the key set
+    grows by one row per window forever, which an always-on per-minute
+    monitoring stream cannot afford."""
     bucketed = stream_df.withColumn(
         "window_start",
         F.window(F.col(ts_col), window_duration).getField("start"))
+    if kwargs.get("retention") is not None:
+        kwargs.setdefault("expire_col", "window_start")
     return stream_digests(
         bucketed, value_col, list(group_cols) + ["window_start"],
         state_dir, checkpoint_dir, compression, **kwargs)

@@ -276,6 +276,71 @@ def test_windowed_digests_late_data(spark, workdir):
     assert d1.quantile(0.5) == vals1[2]   # odd n ⇒ exact middle
 
 
+def test_windowed_state_expiry(spark, workdir):
+    """retention='1 hour' on per-minute windows: state stays bounded to
+    the trailing horizon as event time advances over 3 hours, a
+    too-late arrival is dropped (watermark semantics), and the
+    trailing-hour comparison digest (merge of live window rows) still
+    exactly matches the raw last-hour data — the reference monitoring
+    scenario's shape (core ComparisonTest.java:38-127)."""
+    from t_digest_spark.core import TDigest, merge_digests
+    from t_digest_spark.streaming.digest_stream import (
+        read_digest_state, windowed_digest_query,
+    )
+    src = os.path.join(workdir, "esrc")
+    state = os.path.join(workdir, "estate")
+    ckpt = os.path.join(workdir, "eckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def drop(rows):
+        spark.createDataFrame(rows, "ts timestamp, v double") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+    # three hourly batches of one row per minute
+    batches = [
+        [(t0 + dt.timedelta(minutes=h * 60 + m), float(h * 60 + m))
+         for m in range(60)]
+        for h in range(3)
+    ]
+    drop(batches[0])
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    q = windowed_digest_query(stream, "ts", "v", [], "1 minute",
+                              state, ckpt, retention="1 hour")
+    try:
+        q.processAllAvailable()
+        drop(batches[1])
+        q.processAllAvailable()
+        # a too-late row (2h behind the max) + the third hour
+        drop(batches[2] + [(t0 + dt.timedelta(minutes=5), 9999.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = read_digest_state(spark, state).collect()
+    # horizon = 1 hour => max window 10:59, cutoff 09:59: 61 windows
+    assert len(rows) == 61
+    starts = sorted(r.window_start for r in rows)
+    assert starts[0] == t0 + dt.timedelta(minutes=119)
+    assert starts[-1] == t0 + dt.timedelta(minutes=179)
+    # the too-late 08:05 row must NOT have resurrected its window
+    assert t0 + dt.timedelta(minutes=5) not in set(starts)
+    # trailing-hour comparison: merge the last 60 live windows and
+    # check the digest holds exactly the last hour's raw values
+    last60 = sorted(rows, key=lambda r: r.window_start)[-60:]
+    merged = merge_digests(
+        [TDigest.from_bytes(bytes(r.digest)) for r in last60])
+    expect = sorted(v for _, v in batches[2])
+    assert merged.size == 60
+    # reference t-digest even-n median lands on/between the two middle
+    # singletons (not the order-statistic midpoint)
+    assert expect[29] <= merged.quantile(0.5) <= expect[30]
+    assert merged.min == expect[0] and merged.max == expect[-1]
+    for qq in (0.1, 0.9):
+        assert abs(merged.cdf(merged.quantile(qq)) - qq) <= 1.5 / 60
+
+
 def test_stateful_digest_stream(spark, workdir):
     # applyInPandasWithState path: state lives in Spark's state store;
     # two micro-batches fold into one digest per key, exact vs raw data
