@@ -273,23 +273,55 @@ class DigestAccumulator:
         return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
-def _merge_fn(compression: float, scale: str, group_cols: Sequence[str],
-              extra_agg: bool = True):
+def _partition_merge_gen(compression: float, scale: str,
+                         group_cols: Sequence[str]):
+    """Whole-partition stage-2 merge kernel: accumulate (key -> blobs)
+    across the partition's Arrow batches, merge each key once at the
+    end, emit one RecordBatch.  One Python round-trip per REDUCER
+    PARTITION instead of one applyInPandas call per GROUP — profiled on
+    the scaling job the per-group path cost ~10 ms/group (pandas
+    construction + Arrow conversion per group), dominating the whole
+    reduce stage at P=256 partials x K~3k keys."""
     group_cols = list(group_cols)
+    n_keys = len(group_cols)
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        # merge_blobs decodes each blob as a zero-copy frombuffer view —
-        # no per-partial TDigest construction; at P partitions x K keys
-        # the reduce decodes P blobs per key, so this is the stage-2
-        # hot path
-        merged = merge_blobs(list(pdf[DIGEST_FIELD]),
-                             compression=compression, scale=scale)
-        head = {c: [pdf[c].iloc[0]] for c in group_cols}
-        head[DIGEST_FIELD] = [merged.to_bytes()]
-        head["rows"] = [int(pdf["rows"].sum())]
-        return pd.DataFrame(head)
+    def gen(batches):
+        import pyarrow as pa
 
-    return merge
+        blobs: dict[tuple, list] = {}
+        rows: dict[tuple, int] = {}
+        key_fields: list = [None] * n_keys
+        for batch in batches:
+            for i in range(n_keys):
+                key_fields[i] = batch.schema.field(i)
+            cols = [batch.column(i).to_pylist() for i in range(n_keys)]
+            bcol = batch.column(n_keys).to_pylist()
+            rcol = batch.column(n_keys + 1).to_pylist()
+            for j in range(batch.num_rows):
+                key = tuple(c[j] for c in cols)
+                lst = blobs.get(key)
+                if lst is None:
+                    lst = blobs[key] = []
+                    rows[key] = 0
+                lst.append(bcol[j])
+                rows[key] += rcol[j]
+        if not blobs:
+            return
+        keys = list(blobs)
+        arrays = [
+            pa.array([k[i] for k in keys],
+                     type=key_fields[i].type if key_fields[i] else None)
+            for i in range(n_keys)
+        ]
+        arrays.append(pa.array(
+            [merge_blobs(blobs[k], compression=compression,
+                         scale=scale).to_bytes() for k in keys],
+            type=pa.binary()))
+        arrays.append(pa.array([rows[k] for k in keys], type=pa.int64()))
+        yield pa.RecordBatch.from_arrays(
+            arrays, names=group_cols + [DIGEST_FIELD, "rows"])
+
+    return gen
 
 
 def merge_digests_df(
@@ -298,16 +330,29 @@ def merge_digests_df(
     compression: float = 100.0,
     scale: str = "K_2",
 ) -> DataFrame:
-    """Stage 2: shuffle the (tiny) digest rows by key and merge per group."""
+    """Stage 2: shuffle the (tiny) digest rows by key and merge per group.
+
+    Grouped path: ``repartition(keys)`` co-locates every key's partials,
+    then a whole-partition ``mapInArrow`` kernel merges all keys of the
+    partition in ONE Python round-trip (see _partition_merge_gen).  The
+    partition count is pinned to spark.sql.shuffle.partitions: AQE
+    coalescing buys nothing on a sketch-row exchange and its coalesced
+    count (sized by bytes) can sit badly on the core count (measured:
+    11 tasks on 8 cores = a 27% idle tail on the reduce stage)."""
     group_cols = list(group_cols)
     schema = StructType(
         [partials.schema[c] for c in group_cols]
         + [StructField(DIGEST_FIELD, BinaryType(), False),
            StructField("rows", LongType(), False)]
     )
-    fn = _merge_fn(compression, scale, group_cols)
     if group_cols:
-        return partials.groupBy(*group_cols).applyInPandas(fn, schema=schema)
+        n_shuffle = int(partials.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
+        rep = (partials.select(*group_cols, DIGEST_FIELD, "rows")
+               .repartition(n_shuffle, *group_cols))
+        return rep.mapInArrow(
+            _partition_merge_gen(compression, scale, group_cols),
+            schema=schema)
     # global aggregate: single group — funnel the per-partition digest rows
     # (already tiny) into one task and merge.  repartition, NOT coalesce:
     # coalesce(1) would collapse the whole upstream partial-build stage
@@ -357,10 +402,18 @@ def tree_merge(
     )
     # intermediate level keeps 2x centroids (stratified merging: sub-digests
     # at delta' > delta are *more* accurate, docs/vldb/short.tex:185-198);
-    # only the final level compresses to the public delta
-    fn1 = _merge_fn(2 * compression, scale, group_cols + ["__salt"])
-    level1 = salted.groupBy(*(group_cols + ["__salt"])).applyInPandas(
-        fn1, schema=schema)
+    # only the final level compresses to the public delta.  Same whole-
+    # partition merge kernel as merge_digests_df: the salted level has
+    # keys x fanout groups, where per-group applyInPandas overhead would
+    # hurt the most.
+    salt_keys = group_cols + ["__salt"]
+    n_shuffle = int(partials.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    level1 = (salted.select(*salt_keys, DIGEST_FIELD, "rows")
+              .repartition(n_shuffle, *salt_keys)
+              .mapInArrow(
+                  _partition_merge_gen(2 * compression, scale, salt_keys),
+                  schema=schema))
     return merge_digests_df(level1.drop("__salt"), group_cols,
                             compression, scale)
 

@@ -202,9 +202,17 @@ def main():
     med_ceiling = ceilings[len(ceilings) // 2]
     thr_lo = results[lo]["rows_per_sec"]
     thr_hi = results[hi]["rows_per_sec"]
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, check=True).stdout.strip()
+    except Exception:
+        rev = "unknown"
     summary = {
         "job": "transcripts fused clustered lag + t-digest by "
                "(role, ts_hour) + p50/p99/p999 extract",
+        "code_rev": rev,
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "input_rows": results[hi]["rows"],
         "levels": [lo, hi],
         f"local{lo}": results[lo],
@@ -256,7 +264,28 @@ def main():
         "cpu_ceilings": [p["cpu_ceiling"] for p in best_run["pairs"]],
         "efficiency_vs_ceiling": best_run["efficiency_vs_ceiling"],
     }
-    summary_out["pass"] = best_run["median_efficiency"] >= 0.8
+    # the ROBUST verdict: the median pair efficiency pooled across every
+    # invocation (= fresh measurement window) of the CURRENT code
+    # revision at the headline levels — not best-run-pinned, not a
+    # single window.  Older-revision history stays in the file as
+    # context but does not vote (the reduce-stage kernel changed).
+    cur_rev = summary_out.get("code_rev", "unknown")
+    cur_runs = [r for r in head_runs
+                if r.get("code_rev", "unknown") == cur_rev]
+    pooled = sorted(p["efficiency"] for r in cur_runs for p in r["pairs"])
+    pooled_ceil = sorted(
+        p["cpu_ceiling"] for r in cur_runs for p in r["pairs"])
+    summary_out["multi_run"] = {
+        "code_rev": cur_rev,
+        "windows": len(cur_runs),
+        "pairs": len(pooled),
+        "pair_efficiencies": pooled,
+        "median_efficiency": pooled[len(pooled) // 2],
+        "median_cpu_ceiling": pooled_ceil[len(pooled_ceil) // 2],
+        "run_medians": [r["median_efficiency"] for r in cur_runs],
+    }
+    summary_out["pass"] = \
+        summary_out["multi_run"]["median_efficiency"] >= 0.8
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(summary_out, f, indent=2)
     write_baseline_md(hist)
