@@ -309,6 +309,27 @@ def write_baseline_md(hist: list) -> None:
         "pairs, a pure-CPU fixed-work calibration runs next to every "
         "pair, and the reported figure is the median per-pair "
         "efficiency = (thr_4N/thr_N)/4.\n")
+    # headline: the multi-window verdict at the newest code revision
+    newest = hist[-1]
+    cur_rev = newest.get("code_rev", "unknown")
+    cur_runs = [r for r in hist
+                if r.get("code_rev", "unknown") == cur_rev
+                and r["levels"] == newest["levels"]]
+    pooled = sorted(p["efficiency"] for r in cur_runs for p in r["pairs"])
+    if pooled:
+        med = pooled[len(pooled) // 2]
+        verdict = "PASS" if med >= 0.8 else "FAIL"
+        lines.append(
+            f"\n**Multi-window verdict (code rev {cur_rev}, levels "
+            f"{newest['levels'][0]}v{newest['levels'][1]}): median pair "
+            f"efficiency over {len(cur_runs)} fresh windows / "
+            f"{len(pooled)} pairs = {med} — target >= 0.8: "
+            f"**{verdict}**.  Pair efficiencies: {pooled}; per-window "
+            f"run medians: "
+            f"{[r['median_efficiency'] for r in cur_runs]}.  This is "
+            f"the robust figure (not best-run-pinned); per-stage "
+            f"attribution of the residual gap is in "
+            f"BENCH/ATTRIBUTION.md.**\n")
     for levels, runs in sorted(by_levels.items()):
         lo, hi = levels
         latest = runs[-1]
