@@ -62,11 +62,20 @@ def main() -> None:
                    "PushedFilters: [IsNotNull(event_type), "
                    "EqualTo(event_type,click)]" in p1))
     import re
-    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p1, re.M))
-    checks.append(("exactly one Exchange, above the MapInArrow partials "
-                   "(only digest rows shuffle)",
-                   n_exchanges == 1
-                   and p1.index("MapInArrow") > p1.index("Exchange")))
+
+    def digest_only_exchange(plan: str) -> bool:
+        """Exactly one (non-broadcast) Exchange and its input is the
+        sketch-row schema (digest binary + rows), i.e. raw rows never
+        shuffle.  The stage-2 kernel sits ABOVE it as the plan root
+        (merge mapInArrow), stage-1 partials below."""
+        ex_inputs = re.findall(
+            r"^\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]",
+            plan, re.M)
+        return len(ex_inputs) == 1 and "digest#" in ex_inputs[0]
+
+    checks.append(("exactly one Exchange and it carries only digest "
+                   "rows (raw rows never shuffle)",
+                   digest_only_exchange(p1)))
 
     # 2. transcripts latency pipeline
     t = load_table(spark, SF_DIR, "events").select(
@@ -98,13 +107,11 @@ def main() -> None:
     p2b = plan_of(q2b)
     sections.append(("Clustered shuffle-free lag → grouped digest "
                      "(conv-clustered input)", p2b))
-    n_ex_2b = len(re.findall(r"^\(\d+\) Exchange", p2b, re.M))
     checks.append(("clustered lag: no Window operator",
                    "Window" not in p2b))
-    checks.append(("clustered lag: exactly one Exchange and it is above "
-                   "both MapInArrow nodes (raw rows never shuffle)",
-                   n_ex_2b == 1
-                   and p2b.index("MapInArrow") > p2b.index("Exchange")))
+    checks.append(("clustered lag: exactly one Exchange and it carries "
+                   "only digest rows (raw rows never shuffle)",
+                   digest_only_exchange(p2b)))
 
     # 3. brute-force ANN: JVM-only expression + TakeOrdered
     emb = load_table(spark, SF_DIR, "embeddings")
