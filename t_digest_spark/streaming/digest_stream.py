@@ -211,6 +211,7 @@ def stateful_digest_stream(
     group_cols: Sequence[str],
     compression: float = 100.0,
     scale: str = "K_2",
+    ttl_minutes: float | None = None,
 ):
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (the Structured Streaming-native alternative to the foreachBatch
@@ -224,6 +225,23 @@ def stateful_digest_stream(
     parquet dir — use this when the stream continues with further
     Spark operators; use ``stream_digests`` when external readers poll
     the state between batches.
+
+    ``ttl_minutes``: processing-time state TTL via Spark's own
+    GroupStateTimeout — a key receiving no data for the TTL is evicted
+    from the state store on the next micro-batch, so an unbounded key
+    space (e.g. per-conv digests on a crawl) cannot grow state forever;
+    a late arrival after eviction starts that key fresh.  This is the
+    state-store counterpart of ``stream_digests``'s
+    ``expire_col``/``retention`` (which is event-time based).
+
+    With a TTL, run the query on the RocksDB state store
+    (``spark.sql.streaming.stateStore.providerClass =
+    ...state.RocksDBStateStoreProvider``) and give it a real trigger
+    interval: timeouts make the engine run micro-batches continuously,
+    and the default HDFS-backed store has a commit/maintenance race
+    under that cadence (observed as CANNOT_WRITE_STATE_STORE after
+    ~40 rapid empty batches on Spark 4.1); RocksDB — the production
+    choice for large state anyway — is unaffected.
 
     Returns the transformed streaming DataFrame (caller attaches the
     sink):
@@ -246,6 +264,10 @@ def stateful_digest_stream(
     def update(key, pdf_iter, state):
         import numpy as np
 
+        if ttl_minutes is not None and state.hasTimedOut:
+            # idle past the TTL: evict; a later arrival starts fresh
+            state.remove()
+            return
         d = TDigest(compression, scale=scale)
         rows = 0
         if state.exists:
@@ -261,6 +283,8 @@ def stateful_digest_stream(
                 rows += int(vals.size)
         blob = d.to_bytes()
         state.update((bytearray(blob), rows))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(int(ttl_minutes * 60_000))
         out = {c: [k] for c, k in zip(group_cols, key)}
         out[DIGEST_FIELD] = [bytearray(blob)]
         out["rows"] = [rows]
@@ -268,7 +292,9 @@ def stateful_digest_stream(
         out["p99"] = [d.quantile(0.99) if d.size else float("nan")]
         yield pd.DataFrame(out)
 
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if ttl_minutes is not None
+                    else GroupStateTimeout.NoTimeout)
     return (stream_df.groupBy(*group_cols)
             .applyInPandasWithState(
-                update, out_type, state_type, "update",
-                GroupStateTimeout.NoTimeout))
+                update, out_type, state_type, "update", timeout_conf))

@@ -276,6 +276,86 @@ def test_windowed_digests_late_data(spark, workdir):
     assert d1.quantile(0.5) == vals1[2]   # odd n ⇒ exact middle
 
 
+def test_stateful_stream_ttl_eviction(spark, workdir):
+    """ttl_minutes on the applyInPandasWithState path: a key idle past
+    the TTL is evicted from the state store — its next arrival starts a
+    FRESH digest instead of folding into stale state — while keys that
+    kept receiving data retain their accumulated state."""
+    import time as _time
+
+    from t_digest_spark.streaming.digest_stream import (
+        stateful_digest_stream,
+    )
+    src = os.path.join(workdir, "tsrc")
+    ckpt = os.path.join(workdir, "tckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def drop(rows):
+        spark.createDataFrame(rows, "g string, v double").coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("g string, v double").parquet(src)
+    ttl_s = 6.0
+    out = stateful_digest_stream(stream, "v", ["g"],
+                                 ttl_minutes=ttl_s / 60)
+    # TTL queries need the RocksDB state store (see stateful_digest_
+    # stream docstring: the HDFS-backed store has a commit/maintenance
+    # race under the continuous empty batches timeouts cause)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key,
+                   "org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider")
+    q = (out.writeStream.queryName("ttl_digest")
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="1 second")
+         .outputMode("update").format("memory").start())
+
+    # with ProcessingTimeTimeout the engine runs continuous empty
+    # micro-batches to fire timeouts, so processAllAvailable() never
+    # settles — poll the sink for the expected emission instead
+    def wait_for(pred, timeout=90.0):
+        t0 = _time.time()
+        while _time.time() - t0 < timeout:
+            rows = spark.sql("select g, rows from ttl_digest").collect()
+            if pred({(r.g, r.rows) for r in rows}):
+                return
+            _time.sleep(0.5)
+        raise AssertionError("sink never reached expected state")
+
+    try:
+        drop([("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0),
+              ("b", 20.0)])
+        wait_for(lambda s: ("a", 3) in s and ("b", 2) in s)
+        # keep a alive with a row every ~2s while b idles past the TTL
+        for i, v in enumerate([4.0, 5.0, 6.0, 7.0]):
+            _time.sleep(2.0)
+            drop([("a", v)])
+            wait_for(lambda s, n=4 + i: ("a", n) in s)
+        drop([("b", 99.0)])                   # b returns after eviction
+        wait_for(lambda s: ("b", 1) in s)
+    finally:
+        q.stop()
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+
+    rows = spark.sql("select * from ttl_digest").collect()
+    seen = {}
+    for r in rows:
+        seen.setdefault(r.g, set()).add(r.rows)
+    # a was refreshed inside every TTL window: monotone growth, never
+    # evicted
+    assert max(seen["a"]) == 7 and 1 not in seen["a"]
+    # b: 2 rows in batch 1, then EVICTED after >6s idle — its return is
+    # a fresh 1-row digest, never a stale 3-row fold
+    assert seen["b"] == {2, 1}
+    fresh_b = [r for r in rows if r.g == "b" and r.rows == 1]
+    d = TDigest.from_bytes(bytes(fresh_b[0].digest))
+    assert d.size == 1 and d.quantile(0.5) == 99.0
+
+
 def test_windowed_state_expiry(spark, workdir):
     """retention='1 hour' on per-minute windows: state stays bounded to
     the trailing horizon as event time advances over 3 hours, a
