@@ -123,9 +123,13 @@ def minhash_signature(shingles_col, num_perm: int = 64,
         # whole-batch vectorization in row chunks: concatenate the
         # chunk's shingle hashes, one (num_perm x total_shingles)
         # modular-hash matrix, per-row minima via minimum.reduceat on
-        # the row boundaries.  The chunk target bounds the matrix (and
-        # the split-multiply temporaries) to ~num_perm * 64Ki u64.
-        target = 65536
+        # the row boundaries.  The chunk target bounds the matrix and
+        # the ~6 split-multiply temporaries: at 8 Ki shingles x 64
+        # perms they stay ~4 MB each (cache-resident); the earlier
+        # 64 Ki target spilled every temporary to DRAM and measured
+        # 5x slower per doc (and scaled worse — shared memory
+        # bandwidth is the contended resource on a multi-core host).
+        target = 8192
         start = 0
         while start < len(idx):
             end, tot = start, 0
@@ -406,10 +410,23 @@ def lsh_components(edges: DataFrame, id_col: str = "doc_id",
     lineage (on a production cluster with flaky executors, set
     ``spark.sparkContext.setCheckpointDir`` and swap for ``checkpoint``).
     """
-    e = (edges.select(F.col(id_col).alias("__id"),
-                      F.col(bucket_col).alias("__b"))
-         .dropDuplicates(["__id", "__b"])
-         .localCheckpoint(eager=False))
+    # checkpoint the deduped bucket table ONCE — everything below
+    # (ids, bucket counts, pruned edges, every iteration) derives from
+    # it, and without the checkpoint each derivation would recompute
+    # the whole upstream (LSH signatures included) from scratch
+    e_all = (edges.select(F.col(id_col).alias("__id"),
+                          F.col(bucket_col).alias("__b"))
+             .dropDuplicates(["__id", "__b"])
+             .localCheckpoint(eager=False))
+    # singleton-bucket pruning: a bucket with one member contributes no
+    # edge, and on a crawl-scale corpus MOST buckets are singletons
+    # (every non-duplicate doc's bands) — dropping them up front means
+    # the iterations shuffle only the duplicate-cluster subgraph.
+    # Pruned ids are their own representative by definition.
+    all_ids = e_all.select("__id").distinct()
+    multi = (e_all.groupBy("__b").agg(F.count("*").alias("__c"))
+             .where(F.col("__c") > 1).select("__b"))
+    e = e_all.join(multi, "__b").localCheckpoint(eager=False)
     labels = (e.select("__id").distinct()
               .withColumn("__rep", F.col("__id")))
     for _ in range(max_iter):
@@ -429,8 +446,9 @@ def lsh_components(edges: DataFrame, id_col: str = "doc_id",
         labels = merged.select("__id", "__rep")
         if changed == 0:
             break
-    return labels.select(F.col("__id").alias(id_col),
-                         F.col("__rep").alias("rep_id"))
+    return (all_ids.join(labels, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.coalesce("__rep", F.col("__id")).alias("rep_id")))
 
 
 def _dedup_decisions(ids_and_buckets: DataFrame, id_col: str,
