@@ -500,6 +500,10 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
                              bands, _sigs=sigs)
     if threshold is None:
         return _dedup_decisions(banded, id_col, None, max_iter)
+    # the bucket table feeds both the verification edges and the
+    # component propagation — checkpoint it once so the (expensive)
+    # minhash signatures aren't computed twice
+    banded = banded.localCheckpoint(eager=False)
     sh = sigs.select(id_col, "__sh")
     verified = (bucket_candidate_edges(banded, id_col)
                 .join(sh.select(F.col(id_col).alias("id_a"),
@@ -585,7 +589,11 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     mask = (1 << width) - 1
-    sh = df.select(F.col(id_col), simhash(text_col).alias("__simhash"))
+    # checkpoint the simhash table: verification edges re-join it twice
+    # and the chunk buckets derive from it — without this the bit-vote
+    # UDF would run 3x
+    sh = (df.select(F.col(id_col), simhash(text_col).alias("__simhash"))
+          .localCheckpoint(eager=False))
     chunks = (sh.select(
         id_col,
         F.posexplode(F.array(*[
@@ -651,6 +659,9 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                  F.xxhash64("__band", "__bucket0").alias("__bucket")))
     if threshold is None:
         return _dedup_decisions(b, id_col, None, max_iter)
+    # bucket table feeds both verification and propagation: checkpoint
+    # so the projection matmul UDF runs once
+    b = b.localCheckpoint(eager=False)
     dot = F.aggregate(F.zip_with("__va", "__vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(F.transform("__va", lambda x: x * x),
