@@ -446,6 +446,18 @@ def lsh_components(edges: DataFrame, id_col: str = "doc_id",
         labels = merged.select("__id", "__rep")
         if changed == 0:
             break
+    else:
+        # exhausting max_iter silently would under-merge: members of a
+        # long chain keep non-minimal reps, so some duplicates survive
+        # as keepers (recall loss, never corruption).  LSH dup clusters
+        # are near-cliques (diameter 2-3); hitting this means the graph
+        # is pathological or max_iter was lowered too far.
+        import warnings
+
+        warnings.warn(
+            f"lsh_components: not converged after {max_iter} rounds; "
+            "labels are valid but possibly under-merged — raise "
+            "max_iter", RuntimeWarning, stacklevel=2)
     return (all_ids.join(labels, "__id", "left")
             .select(F.col("__id").alias(id_col),
                     F.coalesce("__rep", F.col("__id")).alias("rep_id")))

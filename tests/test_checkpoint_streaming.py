@@ -276,6 +276,26 @@ def test_windowed_digests_late_data(spark, workdir):
     assert d1.quantile(0.5) == vals1[2]   # odd n ⇒ exact middle
 
 
+def test_expire_numeric_and_timestamp_columns(spark):
+    """_expire handles both timestamp and numeric horizon columns and
+    keeps exactly the trailing window relative to the observed max."""
+    import datetime as dt
+
+    from t_digest_spark.streaming.digest_stream import _expire
+
+    num = spark.createDataFrame(
+        [(i, float(i * 100)) for i in range(10)], "k long, w double")
+    kept = sorted(r.k for r in _expire(num, "w", 300.0).collect())
+    assert kept == [6, 7, 8, 9]          # w >= 900 - 300
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    ts = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=i)) for i in range(10)],
+        "k long, w timestamp")
+    kept = sorted(r.k for r in _expire(ts, "w", 180.0).collect())
+    assert kept == [6, 7, 8, 9]          # trailing 3 minutes
+
+
 def test_stateful_stream_ttl_eviction(spark, workdir):
     """ttl_minutes on the applyInPandasWithState path: a key idle past
     the TTL is evicted from the state store — its next arrival starts a

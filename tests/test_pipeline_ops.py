@@ -253,6 +253,58 @@ def test_bucket_min_edges_linear_in_cluster_size(spark):
     assert all(e.id_a == 0 for e in edges)
 
 
+def test_lsh_components_random_vs_union_find(spark):
+    """Property check: on random bipartite (id, bucket) graphs the
+    min-label propagation must produce exactly the connected components
+    a plain union-find computes — including the min-id representative
+    choice — and must converge within max_iter (no RuntimeWarning)."""
+    import warnings
+
+    from t_digest_spark.operators.dedup import lsh_components
+
+    rng = np.random.default_rng(42)
+    for trial in range(4):
+        n_ids = int(rng.integers(30, 120))
+        n_buckets = int(rng.integers(5, 40))
+        n_edges = int(rng.integers(n_ids, 3 * n_ids))
+        ids = rng.integers(0, n_ids, size=n_edges)
+        buckets = rng.integers(0, n_buckets, size=n_edges)
+        pairs = sorted({(int(i), int(b))
+                        for i, b in zip(ids, buckets)})
+
+        # union-find oracle over the bipartite graph
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+
+        for i, b in pairs:
+            union(("id", i), ("b", b))
+        comp_members: dict = {}
+        for i in {i for i, _ in pairs}:
+            comp_members.setdefault(find(("id", i)), []).append(i)
+        expect = {}
+        for members in comp_members.values():
+            rep = min(members)
+            for m in members:
+                expect[m] = rep
+
+        edges = spark.createDataFrame(pairs, "doc_id long, __bucket long")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            got = {r.doc_id: r.rep_id
+                   for r in lsh_components(edges, "doc_id").collect()}
+        assert got == expect, (trial, n_ids, n_buckets)
+
+
 def test_bucket_candidate_edges_hub_robust(spark):
     """Chain+min edges: a non-duplicate bucket-min 'hub' must not
     disconnect the true duplicate run — consecutive edges keep it

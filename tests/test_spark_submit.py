@@ -34,6 +34,40 @@ def _spark_submit() -> str:
                         "spark-submit")
 
 
+def test_daemon_probe_archive_vs_directory(tmp_path, monkeypatch):
+    """_daemon_importable must treat a PYTHONPATH zip that ships the
+    package as invisible (the --py-files shape: the worker daemon never
+    sees it) while directory entries keep the preloading daemon."""
+    from t_digest_spark import session as sess
+
+    # build a shipping zip like the deployment does
+    zip_path = str(tmp_path / "pkg.zip")
+    pkg = os.path.join(REPO, "t_digest_spark")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, REPO))
+
+    sess._daemon_importable.cache_clear()
+    try:
+        # only the archive on PYTHONPATH, neutral cwd -> daemon CANNOT
+        monkeypatch.setenv("PYTHONPATH", zip_path)
+        monkeypatch.chdir(tmp_path)
+        assert sess._daemon_importable() is False
+        assert "spark.python.daemon.module" not in sess.recommended_confs()
+
+        sess._daemon_importable.cache_clear()
+        # repo DIRECTORY on PYTHONPATH -> daemon available
+        monkeypatch.setenv("PYTHONPATH", REPO)
+        assert sess._daemon_importable() is True
+        assert sess.recommended_confs()[
+            "spark.python.daemon.module"] == "t_digest_spark.daemon"
+    finally:
+        sess._daemon_importable.cache_clear()
+
+
 def test_spark_submit_py_files(spark, workdir):
     # --- synthesize a tiny transcripts table with the session fixture
     from t_digest_spark.sources.tables import synth_transcripts
