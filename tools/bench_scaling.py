@@ -38,6 +38,36 @@ sys.path.insert(0, REPO)
 
 SHUFFLE_PARTITIONS = 64  # identical work at both levels
 
+# the files whose code actually RUNS in the measured job — the
+# multi-window verdict pools runs with an identical compute path, so a
+# commit touching tests/docs/other operators doesn't reset the window
+# set, while any kernel change honestly does
+JOB_FILES = (
+    "t_digest_spark/core.py",
+    "t_digest_spark/scale.py",
+    "t_digest_spark/operators/aggregate.py",
+    "t_digest_spark/operators/_arrow_agg.py",
+    "t_digest_spark/operators/extract.py",
+    "t_digest_spark/sources/tables.py",
+)
+
+
+def job_fingerprint(rev: str | None = None) -> str:
+    """sha256 over the job's compute-path files — at a git rev when
+    given (git show), else the working tree."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for f in JOB_FILES:
+        if rev:
+            out = subprocess.run(["git", "show", f"{rev}:{f}"], cwd=REPO,
+                                 capture_output=True, check=True)
+            h.update(out.stdout)
+        else:
+            with open(os.path.join(REPO, f), "rb") as fh:
+                h.update(fh.read())
+    return h.hexdigest()[:12]
+
 
 def _burn(_):
     x = 0.0
@@ -212,6 +242,7 @@ def main():
         "job": "transcripts fused clustered lag + t-digest by "
                "(role, ts_hour) + p50/p99/p999 extract",
         "code_rev": rev,
+        "job_fp": job_fingerprint(),
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "input_rows": results[hi]["rows"],
         "levels": [lo, hi],
@@ -265,18 +296,31 @@ def main():
         "efficiency_vs_ceiling": best_run["efficiency_vs_ceiling"],
     }
     # the ROBUST verdict: the median pair efficiency pooled across every
-    # invocation (= fresh measurement window) of the CURRENT code
-    # revision at the headline levels — not best-run-pinned, not a
-    # single window.  Older-revision history stays in the file as
-    # context but does not vote (the reduce-stage kernel changed).
-    cur_rev = summary_out.get("code_rev", "unknown")
-    cur_runs = [r for r in head_runs
-                if r.get("code_rev", "unknown") == cur_rev]
+    # invocation (= fresh measurement window) whose COMPUTE PATH equals
+    # the current one (job_fp over JOB_FILES) at the headline levels —
+    # not best-run-pinned, not a single window.  Runs recorded before
+    # job_fp existed are resolved from their code_rev via `git show`;
+    # history from a different kernel stays as context but doesn't vote.
+    cur_fp = summary_out["job_fp"]
+
+    def run_fp(r) -> str:
+        if "job_fp" in r:
+            return r["job_fp"]
+        rev_r = r.get("code_rev")
+        if not rev_r:
+            return "unknown"
+        try:
+            return job_fingerprint(rev_r)
+        except Exception:
+            return "unknown"
+
+    cur_runs = [r for r in head_runs if run_fp(r) == cur_fp]
     pooled = sorted(p["efficiency"] for r in cur_runs for p in r["pairs"])
     pooled_ceil = sorted(
         p["cpu_ceiling"] for r in cur_runs for p in r["pairs"])
     summary_out["multi_run"] = {
-        "code_rev": cur_rev,
+        "job_fp": cur_fp,
+        "code_revs": sorted({r.get("code_rev", "?") for r in cur_runs}),
         "windows": len(cur_runs),
         "pairs": len(pooled),
         "pair_efficiencies": pooled,
@@ -309,18 +353,27 @@ def write_baseline_md(hist: list) -> None:
         "pairs, a pure-CPU fixed-work calibration runs next to every "
         "pair, and the reported figure is the median per-pair "
         "efficiency = (thr_4N/thr_N)/4.\n")
-    # headline: the multi-window verdict at the newest code revision
+    # headline: the multi-window verdict for the current compute path
     newest = hist[-1]
-    cur_rev = newest.get("code_rev", "unknown")
+    cur_fp = job_fingerprint()
+
+    def _fp(r):
+        if "job_fp" in r:
+            return r["job_fp"]
+        try:
+            return job_fingerprint(r["code_rev"]) if r.get("code_rev") \
+                else "unknown"
+        except Exception:
+            return "unknown"
+
     cur_runs = [r for r in hist
-                if r.get("code_rev", "unknown") == cur_rev
-                and r["levels"] == newest["levels"]]
+                if _fp(r) == cur_fp and r["levels"] == newest["levels"]]
     pooled = sorted(p["efficiency"] for r in cur_runs for p in r["pairs"])
     if pooled:
         med = pooled[len(pooled) // 2]
         verdict = "PASS" if med >= 0.8 else "FAIL"
         lines.append(
-            f"\n**Multi-window verdict (code rev {cur_rev}, levels "
+            f"\n**Multi-window verdict (job fingerprint {cur_fp}, levels "
             f"{newest['levels'][0]}v{newest['levels'][1]}): median pair "
             f"efficiency over {len(cur_runs)} fresh windows / "
             f"{len(pooled)} pairs = {med} — target >= 0.8: "
