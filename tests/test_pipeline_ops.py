@@ -305,6 +305,30 @@ def test_lsh_components_random_vs_union_find(spark):
         assert got == expect, (trial, n_ids, n_buckets)
 
 
+def test_lsh_components_warns_on_iteration_exhaustion(spark):
+    """A chain longer than max_iter can propagate must warn (silent
+    under-merging would mean surviving duplicates) while still
+    returning valid, monotone labels."""
+    import warnings
+
+    from t_digest_spark.operators.dedup import lsh_components
+
+    # chain 1-2-3-4-5-6 through distinct buckets: diameter > 1 round
+    edges = spark.createDataFrame(
+        [(i, 100 + i) for i in range(1, 6)]
+        + [(i + 1, 100 + i) for i in range(1, 6)],
+        "doc_id long, __bucket long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {r.doc_id: r.rep_id
+               for r in lsh_components(edges, "doc_id",
+                                       max_iter=1).collect()}
+    assert any("not converged" in str(w.message) for w in caught)
+    # labels monotone toward the min even when cut short
+    assert got[1] == 1 and got[2] == 1
+    assert all(got[i] <= i for i in got)
+
+
 def test_bucket_candidate_edges_hub_robust(spark):
     """Chain+min edges: a non-duplicate bucket-min 'hub' must not
     disconnect the true duplicate run — consecutive edges keep it
