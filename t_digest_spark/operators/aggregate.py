@@ -55,6 +55,43 @@ __all__ = [
 
 DIGEST_FIELD = "digest"
 
+# Group keys are grouped in Python dicts inside the Arrow kernels, so
+# they must be canonicalized to match Spark groupBy semantics first:
+# NaN keys group together (hash(nan) is id-based on py3.10+, so two
+# NaNs decoded from different Arrow batches would otherwise never
+# merge), -0.0 groups with 0.0, and array/map-typed keys arrive as
+# unhashable lists/dicts from to_pylist.
+_NAN_KEY = object()
+
+
+def _canon_key_val(v):
+    if isinstance(v, float):
+        if v != v:
+            return _NAN_KEY
+        if v == 0.0:
+            return 0.0  # fold -0.0 into 0.0, like Spark's grouping
+        return v
+    if isinstance(v, list):
+        return tuple(_canon_key_val(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_key_val(x)) for k, x in v.items()))
+    return v
+
+
+def _canon_key(key: tuple) -> tuple:
+    return tuple(_canon_key_val(v) for v in key)
+
+
+def _shuffle_partitions(df: DataFrame) -> int:
+    """spark.sql.shuffle.partitions as an int, tolerating non-numeric
+    values some platforms set (e.g. "auto"); falls back to the
+    cluster's default parallelism."""
+    spark = df.sparkSession
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
 # Arrow batches are ~10k rows; we let each per-key digest buffer several
 # batches before a merge pass (amortized buffering per
 # MergingDigest.java:33-49 — bigger buffers are both faster and more
@@ -132,6 +169,8 @@ class DigestAccumulator:
         self.has_weight = has_weight
         self.acc: dict[tuple, TDigest] = {}
         self.counts: dict[tuple, int] = {}
+        # canon key -> first-seen original values, for emission
+        self._orig: dict[tuple, tuple] = {}
         self.key_schema: list = [None] * n_keys
         # per-key deferred chunks: when a batch spans many groups the
         # per-group slices are tiny (tens of rows) and TDigest.add_batch's
@@ -182,6 +221,7 @@ class DigestAccumulator:
         self.counts[key] += v.size
 
     def update(self, batch) -> None:
+        import pyarrow as pa
         import pyarrow.compute as pc
 
         n_keys = self.n_keys
@@ -211,18 +251,39 @@ class DigestAccumulator:
         for i in range(n_keys):
             col = batch.column(i)
             self.key_schema[i] = batch.schema.field(i)
-            enc = pc.dictionary_encode(col)
-            codes = pc.fill_null(enc.indices, -1).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            card = len(enc.dictionary) + 1
+            try:
+                enc = pc.dictionary_encode(col)
+                codes = pc.fill_null(enc.indices, -1).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                # decode the (small) dictionary once — key tuples then
+                # come from O(1) list indexing, not per-group pyarrow
+                # scalar .as_py() (which dominated profiles at high
+                # per-batch group cardinality)
+                dict_vals = enc.dictionary.to_pylist()
+            except pa.lib.ArrowNotImplementedError:
+                # nested (array/map/struct) key columns have no Arrow
+                # dictionary kernel — encode in Python.  Cold path:
+                # it only runs for nested-typed GROUP columns, whose
+                # per-batch cardinality is small by grouping contract.
+                vals = col.to_pylist()
+                code_of: dict = {}
+                codes = np.empty(len(vals), dtype=np.int64)
+                dict_vals = []
+                for j, v in enumerate(vals):
+                    if v is None:
+                        codes[j] = -1
+                        continue
+                    ck = _canon_key_val(v)
+                    c = code_of.get(ck)
+                    if c is None:
+                        c = code_of[ck] = len(dict_vals)
+                        dict_vals.append(v)
+                    codes[j] = c
+            card = len(dict_vals) + 1
             combined = codes + 1 if combined is None \
                 else combined * card + (codes + 1)
             codes_list.append(codes)
-            # decode the (small) dictionary once — key tuples then come
-            # from O(1) list indexing, not per-group pyarrow scalar
-            # .as_py() (which dominated profiles at high per-batch
-            # group cardinality)
-            dicts.append(enc.dictionary.to_pylist())
+            dicts.append(dict_vals)
         if not ok.all():
             combined = np.where(ok, combined, -1)
 
@@ -238,10 +299,12 @@ class DigestAccumulator:
             if sorted_codes[s] < 0:  # filtered-out rows bucket
                 continue
             row0 = order[s]
-            key = tuple(
+            raw = tuple(
                 dicts[i][codes_list[i][row0]]
                 if codes_list[i][row0] >= 0 else None
                 for i in range(n_keys))
+            key = _canon_key(raw)
+            self._orig.setdefault(key, raw)
             # .copy() so the parked chunk doesn't pin this batch's full
             # sorted array until flush time
             self._push(key, sorted_values[s:e].copy(),
@@ -261,7 +324,8 @@ class DigestAccumulator:
         for i, c in enumerate(self.group_cols):
             typ = self.key_schema[i].type \
                 if self.key_schema[i] is not None else None
-            arrays.append(pa.array([k[i] for k in keys], type=typ))
+            arrays.append(pa.array(
+                [self._orig.get(k, k)[i] for k in keys], type=typ))
             names.append(c)
         arrays.append(pa.array(
             [self.acc[k].to_bytes(compress=False) for k in keys],
@@ -290,6 +354,7 @@ def _partition_merge_gen(compression: float, scale: str,
 
         blobs: dict[tuple, list] = {}
         rows: dict[tuple, int] = {}
+        origs: dict[tuple, tuple] = {}
         key_fields: list = [None] * n_keys
         for batch in batches:
             for i in range(n_keys):
@@ -298,18 +363,20 @@ def _partition_merge_gen(compression: float, scale: str,
             bcol = batch.column(n_keys).to_pylist()
             rcol = batch.column(n_keys + 1).to_pylist()
             for j in range(batch.num_rows):
-                key = tuple(c[j] for c in cols)
+                raw = tuple(c[j] for c in cols)
+                key = _canon_key(raw)
                 lst = blobs.get(key)
                 if lst is None:
                     lst = blobs[key] = []
                     rows[key] = 0
+                    origs[key] = raw
                 lst.append(bcol[j])
                 rows[key] += rcol[j]
         if not blobs:
             return
         keys = list(blobs)
         arrays = [
-            pa.array([k[i] for k in keys],
+            pa.array([origs[k][i] for k in keys],
                      type=key_fields[i].type if key_fields[i] else None)
             for i in range(n_keys)
         ]
@@ -346,8 +413,7 @@ def merge_digests_df(
            StructField("rows", LongType(), False)]
     )
     if group_cols:
-        n_shuffle = int(partials.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions", "200"))
+        n_shuffle = _shuffle_partitions(partials)
         rep = (partials.select(*group_cols, DIGEST_FIELD, "rows")
                .repartition(n_shuffle, *group_cols))
         return rep.mapInArrow(
@@ -407,8 +473,7 @@ def tree_merge(
     # keys x fanout groups, where per-group applyInPandas overhead would
     # hurt the most.
     salt_keys = group_cols + ["__salt"]
-    n_shuffle = int(partials.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
+    n_shuffle = _shuffle_partitions(partials)
     level1 = (salted.select(*salt_keys, DIGEST_FIELD, "rows")
               .repartition(n_shuffle, *salt_keys)
               .mapInArrow(
@@ -449,7 +514,12 @@ def tdigest_aggregate(
         # illegal on streaming DataFrames).  inputFiles() is a metadata
         # listing; for non-file plans fall back to the cluster's default
         # parallelism, which bounds the partial-digest partition count
-        # for any shuffle-free stage 1.
+        # for any shuffle-free stage 1.  File count is a HEURISTIC for
+        # task count, not equal to it: maxPartitionBytes splits large
+        # files (undercount) and small files coalesce into shared
+        # partitions (overcount) — acceptable here because the 10^4
+        # threshold only picks the reduce shape, and both shapes are
+        # correct for any split; force tree=True/False to override.
         try:
             n_parts = len(df.inputFiles())
         except Exception:

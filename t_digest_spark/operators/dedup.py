@@ -310,6 +310,45 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
         .select("id_a", "id_b", "hamming"))
 
 
+def _hyperplane_buckets_udf(n_planes: int, n_bands: int, seed: int,
+                            dim: int | None = None):
+    """Banded sign-of-hyperplane bucket codes, as an Arrow-batched UDF
+    returning array<long> (one code per band).
+
+    The projection planes derive deterministically from ``(seed,
+    n_bands, n_planes, dim)``.  When ``dim`` is not supplied it is read
+    from the first non-null vector inside the UDF — every executor
+    derives bit-identical planes from the same seed, so no driver-side
+    Spark job is launched just to learn the vector width (previously
+    one extra ``first()`` job per operator call)."""
+    weights = (1 << np.arange(n_planes, dtype=np.uint64))
+
+    def _planes(d: int) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        return rng.normal(size=(n_bands, n_planes, d)).astype(np.float64)
+
+    state: dict = {"planes": None if dim is None else _planes(dim)}
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vs: pd.Series) -> pd.Series:
+        mask = vs.notna().to_numpy()
+        out: list = [None] * len(vs)
+        if mask.any():
+            x = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in vs[mask]])            # (rows, dim)
+            planes = state["planes"]
+            if planes is None:
+                planes = state["planes"] = _planes(x.shape[1])
+            sig = np.einsum("bpd,rd->rbp", planes, x) > 0
+            codes = (sig.astype(np.uint64) * weights).sum(axis=2) \
+                .astype(np.int64).tolist()
+            for j, row in zip(np.flatnonzero(mask), codes):
+                out[j] = row
+        return pd.Series(out)
+
+    return buckets
+
+
 def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id", n_planes: int = 16,
                            n_bands: int = 4, threshold: float = 0.95,
@@ -326,27 +365,7 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
     join key is (band, bucket) so candidates never leave their band's
     bucket — at 10^9 rows this shuffles ids + vectors once, never
     all-pairs."""
-    if dim is None:
-        first = df.select(F.size(vec_col).alias("d")).first()
-        dim = int(first["d"])
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_bands, n_planes, dim)).astype(np.float64)
-    weights = (1 << np.arange(n_planes, dtype=np.uint64))
-
-    @pandas_udf(ArrayType(LongType()))
-    def buckets(vs: pd.Series) -> pd.Series:
-        mask = vs.notna().to_numpy()
-        out: list = [None] * len(vs)
-        if mask.any():
-            x = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in vs[mask]])            # (rows, dim)
-            sig = np.einsum("bpd,rd->rbp", planes, x) > 0
-            codes = (sig.astype(np.uint64) * weights).sum(axis=2) \
-                .astype(np.int64).tolist()
-            for j, row in zip(np.flatnonzero(mask), codes):
-                out[j] = row
-        return pd.Series(out)
-
+    buckets = _hyperplane_buckets_udf(n_planes, n_bands, seed, dim)
     vecs = df.select(F.col(id_col),
                      F.col(vec_col).cast("array<double>").alias("__v"))
     # candidate join on ids only (see minhash_lsh_pairs); the dim-long
@@ -395,7 +414,8 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
 
 def lsh_components(edges: DataFrame, id_col: str = "doc_id",
                    bucket_col: str = "__bucket",
-                   max_iter: int = 10) -> DataFrame:
+                   max_iter: int = 10,
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components of a bipartite (id, bucket) graph.
 
     Returns (id_col, rep_id) where rep_id is the component-wide minimum
@@ -406,18 +426,32 @@ def lsh_components(edges: DataFrame, id_col: str = "doc_id",
     the component diameter in bucket-hops (2-3 for LSH duplicate
     clusters, which are near-cliques).  Each round is two shuffles of
     (key, label) rows — O(E) — plus one O(E) action for the
-    convergence check; ``localCheckpoint`` truncates the iterative
-    lineage (on a production cluster with flaky executors, set
-    ``spark.sparkContext.setCheckpointDir`` and swap for ``checkpoint``).
+    convergence check.
+
+    Lineage across iterations is truncated with ``localCheckpoint`` by
+    default (executor-local blocks — fast, but lost if an executor
+    dies).  Pass ``checkpoint_dir`` to use durable reliable
+    checkpoints instead: on a production cluster with preemptible /
+    flaky executors this writes each iteration's labels to the fault-
+    tolerant store (HDFS/S3) so a lost executor replays from the last
+    checkpoint, not from the raw LSH signatures.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
+            return df.checkpoint(eager=eager)
+    else:
+        def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
+            return df.localCheckpoint(eager=eager)
+
     # checkpoint the deduped bucket table ONCE — everything below
     # (ids, bucket counts, pruned edges, every iteration) derives from
     # it, and without the checkpoint each derivation would recompute
     # the whole upstream (LSH signatures included) from scratch
-    e_all = (edges.select(F.col(id_col).alias("__id"),
-                          F.col(bucket_col).alias("__b"))
-             .dropDuplicates(["__id", "__b"])
-             .localCheckpoint(eager=False))
+    e_all = _ckpt(edges.select(F.col(id_col).alias("__id"),
+                               F.col(bucket_col).alias("__b"))
+                  .dropDuplicates(["__id", "__b"]), False)
     # singleton-bucket pruning: a bucket with one member contributes no
     # edge, and on a crawl-scale corpus MOST buckets are singletons
     # (every non-duplicate doc's bands) — dropping them up front means
@@ -426,7 +460,7 @@ def lsh_components(edges: DataFrame, id_col: str = "doc_id",
     all_ids = e_all.select("__id").distinct()
     multi = (e_all.groupBy("__b").agg(F.count("*").alias("__c"))
              .where(F.col("__c") > 1).select("__b"))
-    e = e_all.join(multi, "__b").localCheckpoint(eager=False)
+    e = _ckpt(e_all.join(multi, "__b"), False)
     labels = (e.select("__id").distinct()
               .withColumn("__rep", F.col("__id")))
     for _ in range(max_iter):
@@ -440,8 +474,8 @@ def lsh_components(edges: DataFrame, id_col: str = "doc_id",
                                   F.coalesce("__nmin", "__rep"))
                           .alias("__rep"),
                           (F.col("__nmin") < F.col("__rep"))
-                          .alias("__chg"))
-                  .localCheckpoint(eager=True))
+                          .alias("__chg")))
+        merged = _ckpt(merged, True)
         changed = merged.where("__chg").limit(1).count()
         labels = merged.select("__id", "__rep")
         if changed == 0:
@@ -465,20 +499,28 @@ def lsh_components(edges: DataFrame, id_col: str = "doc_id",
 
 def _dedup_decisions(ids_and_buckets: DataFrame, id_col: str,
                      verified_edges: DataFrame | None,
-                     max_iter: int) -> DataFrame:
+                     max_iter: int,
+                     checkpoint_dir: str | None = None) -> DataFrame:
     """(id, rep_id, is_keeper) from either the raw bucket graph or a
     verified edge list (each edge re-expressed as a 2-member bucket)."""
     if verified_edges is None:
         comp = lsh_components(ids_and_buckets, id_col, "__bucket",
-                              max_iter)
+                              max_iter, checkpoint_dir)
     else:
-        # verified (id, rep) edges -> hyperedges keyed by the edge pair
-        ek = F.xxhash64(F.col("id_a"), F.col("id_b")).alias("__bucket")
+        # verified (id_a, id_b) edges -> 2-member hyperedges keyed by
+        # the edge pair itself.  The key must be collision-free: a
+        # 64-bit hash key would, at crawl scale (billions of verified
+        # edges), birthday-collide two unrelated edges into one
+        # "bucket" and spuriously merge their components — dropping a
+        # non-duplicate.  lsh_components accepts any groupable key
+        # type, so use the exact pair struct.
+        ek = F.struct(F.col("id_a"), F.col("id_b")).alias("__bucket")
         both = (verified_edges.select(F.col("id_a").alias(id_col), ek)
                 .unionByName(
                     verified_edges.select(F.col("id_b").alias(id_col),
                                           ek)))
-        comp = lsh_components(both, id_col, "__bucket", max_iter)
+        comp = lsh_components(both, id_col, "__bucket", max_iter,
+                              checkpoint_dir)
         # docs with no verified edge stay their own representative
         all_ids = ids_and_buckets.select(id_col).distinct()
         comp = (all_ids.join(comp, id_col, "left")
@@ -492,7 +534,8 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k_shingle: int = 5,
                   num_perm: int = 64, bands: int = 16,
                   threshold: float | None = None,
-                  max_iter: int = 10) -> DataFrame:
+                  max_iter: int = 10,
+                  checkpoint_dir: str | None = None) -> DataFrame:
     """Keep/drop MinHash-LSH dedup: (id, rep_id, is_keeper), rep_id =
     min id of the duplicate component.  Never materializes pairs.
 
@@ -511,7 +554,8 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
     banded = minhash_buckets(df, text_col, id_col, k_shingle, num_perm,
                              bands, _sigs=sigs)
     if threshold is None:
-        return _dedup_decisions(banded, id_col, None, max_iter)
+        return _dedup_decisions(banded, id_col, None, max_iter,
+                                checkpoint_dir)
     # the bucket table feeds both the verification edges and the
     # component propagation — checkpoint it once so the (expensive)
     # minhash signatures aren't computed twice
@@ -524,7 +568,8 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
                                 F.col("__sh").alias("__sb")), "id_b")
                 .where(ngram_jaccard("__sa", "__sb") >= threshold)
                 .select("id_a", "id_b"))
-    return _dedup_decisions(banded, id_col, verified, max_iter)
+    return _dedup_decisions(banded, id_col, verified, max_iter,
+                            checkpoint_dir)
 
 
 def minhash_buckets(df: DataFrame, text_col: str = "text",
@@ -592,7 +637,8 @@ def bucket_candidate_edges(ids_and_buckets: DataFrame,
 def simhash_dedup(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
                   verify: bool = True,
-                  max_iter: int = 10) -> DataFrame:
+                  max_iter: int = 10,
+                  checkpoint_dir: str | None = None) -> DataFrame:
     """Keep/drop SimHash dedup: (id, rep_id, is_keeper) via pigeonhole
     chunk buckets (see simhash_pairs).  With ``verify`` (default), each
     member is Hamming-checked against its bucket's min-id member only —
@@ -615,7 +661,8 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
         .select(id_col,
                 F.xxhash64("__chunk", "__ckey").alias("__bucket")))
     if not verify:
-        return _dedup_decisions(chunks, id_col, None, max_iter)
+        return _dedup_decisions(chunks, id_col, None, max_iter,
+                                checkpoint_dir)
     verified = (bucket_candidate_edges(chunks, id_col)
                 .join(sh.select(F.col(id_col).alias("id_a"),
                                 F.col("__simhash").alias("__ha")), "id_a")
@@ -625,7 +672,8 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
                     F.col("__ha").bitwiseXOR(F.col("__hb")))
                     <= max_hamming)
                 .select("id_a", "id_b"))
-    return _dedup_decisions(chunks, id_col, verified, max_iter)
+    return _dedup_decisions(chunks, id_col, verified, max_iter,
+                            checkpoint_dir)
 
 
 def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
@@ -633,7 +681,8 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                     n_bands: int = 4,
                     threshold: float | None = 0.95,
                     seed: int = 13, dim: int | None = None,
-                    max_iter: int = 10) -> DataFrame:
+                    max_iter: int = 10,
+                    checkpoint_dir: str | None = None) -> DataFrame:
     """Keep/drop embedding dedup: (id, rep_id, is_keeper) via banded
     hyperplane-LSH buckets (see embedding_cosine_pairs).  With a
     ``threshold`` (default), members are cosine-verified against the
@@ -641,27 +690,7 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
     treats bucket co-occurrence as the edge."""
     # reuse the pair operator's bucketing by projecting ids+buckets out
     # of its candidate stage: rebuild the bucket table directly
-    if dim is None:
-        first = df.select(F.size(vec_col).alias("d")).first()
-        dim = int(first["d"])
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_bands, n_planes, dim)).astype(np.float64)
-    weights = (1 << np.arange(n_planes, dtype=np.uint64))
-
-    @pandas_udf(ArrayType(LongType()))
-    def buckets(vs: pd.Series) -> pd.Series:
-        mask = vs.notna().to_numpy()
-        out: list = [None] * len(vs)
-        if mask.any():
-            x = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in vs[mask]])
-            sig = np.einsum("bpd,rd->rbp", planes, x) > 0
-            codes = (sig.astype(np.uint64) * weights).sum(axis=2) \
-                .astype(np.int64).tolist()
-            for j, row in zip(np.flatnonzero(mask), codes):
-                out[j] = row
-        return pd.Series(out)
-
+    buckets = _hyperplane_buckets_udf(n_planes, n_bands, seed, dim)
     vecs = df.select(F.col(id_col),
                      F.col(vec_col).cast("array<double>").alias("__v"))
     b = (vecs.select(id_col,
@@ -670,7 +699,8 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
          .select(id_col,
                  F.xxhash64("__band", "__bucket0").alias("__bucket")))
     if threshold is None:
-        return _dedup_decisions(b, id_col, None, max_iter)
+        return _dedup_decisions(b, id_col, None, max_iter,
+                                checkpoint_dir)
     # bucket table feeds both verification and propagation: checkpoint
     # so the projection matmul UDF runs once
     b = b.localCheckpoint(eager=False)
@@ -687,4 +717,5 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                                   F.col("__v").alias("__vb")), "id_b")
                 .where(dot / (na * nb) >= threshold)
                 .select("id_a", "id_b"))
-    return _dedup_decisions(b, id_col, verified, max_iter)
+    return _dedup_decisions(b, id_col, verified, max_iter,
+                            checkpoint_dir)

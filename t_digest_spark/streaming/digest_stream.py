@@ -161,7 +161,13 @@ def _expire(merged: DataFrame, expire_col: str,
     """Drop state rows whose expire_col trails the state-wide max by
     more than retention_s.  The max is taken with an unpartitioned
     window — one task over the state table, which is sketch rows
-    (~1 KB per live key), never raw data, so no scale concern."""
+    (~1 KB per live key), never raw data, so no scale concern.
+
+    Rows with a NULL expire_col are RETAINED: they carry no event-time
+    position, so ageing them out against the watermark would silently
+    drop their state (the comparison would evaluate to NULL and fail
+    the filter).  Callers who want null-keyed state evicted should
+    coalesce the expiry column to a sentinel timestamp upstream."""
     from pyspark.sql import Window
     from pyspark.sql.types import TimestampType
 
@@ -173,7 +179,8 @@ def _expire(merged: DataFrame, expire_col: str,
     return (merged
             .withColumn("__ts", col)
             .withColumn("__mx", F.max("__ts").over(w))
-            .where(F.col("__ts") >= F.col("__mx") - F.lit(retention_s))
+            .where(F.col("__ts").isNull()
+                   | (F.col("__ts") >= F.col("__mx") - F.lit(retention_s)))
             .drop("__ts", "__mx"))
 
 

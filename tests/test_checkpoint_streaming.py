@@ -315,7 +315,11 @@ def test_stateful_stream_ttl_eviction(spark, workdir):
             .write.mode("append").parquet(src)
 
     stream = spark.readStream.schema("g string, v double").parquet(src)
-    ttl_s = 6.0
+    # TTL vs keep-alive cadence needs generous slack: the sandbox host
+    # throttles unpredictably, and a micro-batch stalling past the TTL
+    # would evict the kept-alive key and deadlock the polling waits
+    # (observed flaky at 6s TTL / 2s cadence = 3x slack; 15/3 = 5x)
+    ttl_s = 15.0
     out = stateful_digest_stream(stream, "v", ["g"],
                                  ttl_minutes=ttl_s / 60)
     # TTL queries need the RocksDB state store (see stateful_digest_
@@ -334,7 +338,7 @@ def test_stateful_stream_ttl_eviction(spark, workdir):
     # with ProcessingTimeTimeout the engine runs continuous empty
     # micro-batches to fire timeouts, so processAllAvailable() never
     # settles — poll the sink for the expected emission instead
-    def wait_for(pred, timeout=90.0):
+    def wait_for(pred, timeout=120.0):
         t0 = _time.time()
         while _time.time() - t0 < timeout:
             rows = spark.sql("select g, rows from ttl_digest").collect()
@@ -347,11 +351,16 @@ def test_stateful_stream_ttl_eviction(spark, workdir):
         drop([("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0),
               ("b", 20.0)])
         wait_for(lambda s: ("a", 3) in s and ("b", 2) in s)
-        # keep a alive with a row every ~2s while b idles past the TTL
+        # keep a alive with a row every ~3s while b idles past the TTL
+        t_b_idle = _time.time()
         for i, v in enumerate([4.0, 5.0, 6.0, 7.0]):
-            _time.sleep(2.0)
+            _time.sleep(3.0)
             drop([("a", v)])
             wait_for(lambda s, n=4 + i: ("a", n) in s)
+        # make sure b has truly idled past the TTL before it returns
+        remaining = ttl_s + 3.0 - (_time.time() - t_b_idle)
+        if remaining > 0:
+            _time.sleep(remaining)
         drop([("b", 99.0)])                   # b returns after eviction
         wait_for(lambda s: ("b", 1) in s)
     finally:
@@ -494,3 +503,21 @@ def test_stateful_digest_stream(spark, workdir):
         assert r.p50 == pytest.approx(d.quantile(0.5))
         for qq in (0.1, 0.5, 0.9):
             assert abs(dist_cdf(d.quantile(qq), data) - qq) < 0.02
+
+
+def test_expire_retains_null_expiry_rows(spark):
+    """State rows with a NULL expiry column carry no event-time
+    position; _expire must retain them (a bare >= comparison would
+    evaluate to NULL and silently evict them forever)."""
+    from t_digest_spark.streaming.digest_stream import _expire
+
+    rows = [(i, float(i * 100)) for i in range(10)]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    kept = sorted(r.k for r in _expire(df, "w", 300.0).collect())
+    assert kept == [6, 7, 8, 9, 100, 101]
+    # all-null expiry: everything retained, nothing crashes
+    all_null = spark.createDataFrame([(1, None), (2, None)],
+                                     "k long, w double")
+    kept = sorted(r.k for r in _expire(all_null, "w", 60.0).collect())
+    assert kept == [1, 2]

@@ -618,3 +618,95 @@ def test_ivf_topk_batch_recall(embeddings):
         hit = len({p for p in a if p[0] == qid} &
                   {p for p in e if p[0] == qid})
         assert hit >= 5, (qid, hit)   # half the lists probed
+
+
+def test_lsh_components_durable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= swaps localCheckpoint for reliable checkpoints:
+    same components, and the iteration's RDDs actually land in the
+    durable directory (what a flaky-executor cluster needs)."""
+    import os
+
+    from t_digest_spark.operators.dedup import lsh_components
+    ckpt = str(tmp_path / "components_ckpt")
+    edges = spark.createDataFrame(
+        [(1, 100), (2, 100), (2, 200), (3, 200), (3, 300), (4, 300),
+         (9, 900)], "doc_id long, __bucket long")
+    got = {r.doc_id: r.rep_id
+           for r in lsh_components(edges, "doc_id",
+                                   checkpoint_dir=ckpt).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+    written = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt)
+               for f in fs]
+    assert written, "no durable checkpoint files were written"
+
+
+def test_lsh_components_struct_bucket_keys(spark):
+    """lsh_components must accept non-numeric bucket keys — the
+    verified-edge path keys hyperedges by the exact (id_a, id_b)
+    struct so two distinct edges can NEVER collide into one bucket
+    (a 64-bit hash key would birthday-collide at crawl scale and
+    spuriously merge unrelated components)."""
+    from t_digest_spark.operators.dedup import lsh_components
+    edges = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 2), (3, 30, 40), (4, 30, 40)],
+        "doc_id long, ea long, eb long") \
+        .select("doc_id", F.struct("ea", "eb").alias("__bucket"))
+    got = {r.doc_id: r.rep_id
+           for r in lsh_components(edges, "doc_id").collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_verified_dedup_edge_keys_collision_free(spark):
+    """Two disjoint verified pairs whose xxhash64(id_a, id_b) WOULD
+    have been probed for collisions is not constructible cheaply, so
+    assert the mechanism instead: the hyperedge bucket emitted by
+    _dedup_decisions' verified path is the struct of the pair, i.e.
+    distinct pairs get distinct buckets by construction."""
+    from t_digest_spark.operators.dedup import _dedup_decisions
+    ids = spark.createDataFrame([(i, 0) for i in range(1, 7)],
+                                "doc_id long, __bucket long")
+    verified = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long")
+    dec = {r.doc_id: (r.rep_id, r.is_keeper)
+           for r in _dedup_decisions(ids, "doc_id", verified,
+                                     max_iter=10).collect()}
+    assert dec == {1: (1, True), 2: (1, False), 3: (3, True),
+                   4: (3, False), 5: (5, True), 6: (6, True)}
+
+
+def test_embedding_ops_launch_no_dim_inference_job(spark):
+    """Building embedding_dedup / embedding_cosine_pairs plans with
+    dim unspecified must NOT launch a driver-side Spark job to learn
+    the vector width (the planes are derived lazily inside the UDF
+    from the first Arrow batch).  Asserted via job-group tracking:
+    plan construction inside the group leaves the group empty."""
+    from t_digest_spark.operators.dedup import (
+        embedding_cosine_pairs, embedding_dedup)
+    sc = spark.sparkContext
+    rng = np.random.default_rng(5)
+    sdf = spark.createDataFrame(
+        [(int(i), rng.normal(size=8).tolist()) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    group = "no-dim-inference-job-probe"
+    sc.setJobGroup(group, "plan construction must be job-free")
+    try:
+        plan_b = embedding_cosine_pairs(sdf, threshold=0.95)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup("", "")
+    assert jobs == [], f"plan construction launched jobs: {jobs}"
+    # embedding_dedup is eager by nature (the component fixpoint loop
+    # runs at call time), so assert dim-job parity instead: omitting
+    # dim must cost exactly as many jobs as passing it.
+    counts = {}
+    for tag, dim in (("with-dim", 8), ("no-dim", None)):
+        g = f"dim-parity-{tag}"
+        sc.setJobGroup(g, tag)
+        try:
+            embedding_dedup(sdf, threshold=0.95, dim=dim)
+            counts[tag] = len(sc.statusTracker().getJobIdsForGroup(g))
+        finally:
+            sc.setJobGroup("", "")
+    assert counts["no-dim"] == counts["with-dim"], counts
+    # and the lazily-derived planes still give a correct (empty) answer
+    assert plan_b.count() == 0

@@ -450,3 +450,34 @@ def test_turn_digests_clustered_multimetric(spark, tmp_path):
         d = TDigest.from_bytes(bytes(tl_ref[role].digest))
         assert c.size == d.size and c.min == d.min and c.max == d.max
         assert rows[("text_len", role)].rows == tl_ref[role].rows
+
+
+def test_nan_and_negzero_group_keys(spark):
+    """Group-key canonicalization (operators/aggregate._canon_key):
+    NaN keys form ONE group across Arrow batches/partitions (Spark
+    groupBy semantics; a naive Python dict would split them because
+    hash(nan) is id-based), and -0.0 groups with 0.0."""
+    rows = [(float("nan"), float(i)) for i in range(10)]
+    rows += [(0.0, 100.0), (-0.0, 200.0)]
+    df = spark.createDataFrame(rows, "g double, v double").repartition(4)
+    out = tdigest_aggregate(df, "v", ["g"]).collect()
+    assert len(out) == 2
+    by_nan = {(r.g != r.g): r for r in out}
+    assert by_nan[True].rows == 10
+    assert by_nan[False].rows == 2
+    d = TDigest.from_bytes(bytes(by_nan[False].digest))
+    assert (d.min, d.max) == (100.0, 200.0)  # both zeros' values merged
+
+
+def test_array_typed_group_keys(spark):
+    """Array-typed group columns: Arrow has no dictionary_encode kernel
+    for nested types, so stage 1 takes the Python-encoding fallback;
+    stage 2's canon-key dict must treat the (unhashable) lists as
+    tuples.  Result must match Spark groupBy semantics."""
+    rows = [([1, 2], float(i)) for i in range(6)]
+    rows += [([3], 7.0), ([3], 9.0), (None, 5.0)]
+    df = spark.createDataFrame(rows, "g array<bigint>, v double") \
+        .repartition(3)
+    out = tdigest_aggregate(df, "v", ["g"]).collect()
+    got = {tuple(r.g) if r.g is not None else None: r.rows for r in out}
+    assert got == {(1, 2): 6, (3,): 2, None: 1}
