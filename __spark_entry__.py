@@ -497,6 +497,72 @@ def _q_minhash_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "rep_id", "is_keeper", "n_cand_edges"))
 
 
+def _q_simhash_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scale keep/drop SimHash dedup (operators/dedup.py
+    simhash_dedup): a planted cluster of 600 identical documents
+    (distinctive synthetic text, ids 2,000,000..2,000,599) is appended
+    to the sf documents table and the verified dedup — simhash,
+    pigeonhole chunk buckets, O(k) chain+min candidate edges, exact
+    Hamming verification, min-label component propagation — runs over
+    corpus+cluster together.  Every planted doc must map to rep_id
+    2,000,000 with exactly one keeper.  Same construction (and same
+    reasoning for why the planted answer is the oracle) as
+    minhash_dedup_cluster: identical text ⇒ identical 64-bit simhash ⇒
+    Hamming-0 verified edges ⇒ one component with min id 2,000,000;
+    natural docs participate as bucket-minima distractors and a
+    natural doc landing within Hamming 3 of the planted hash has
+    probability ~n·4.4e4/2^64 ≈ 0."""
+    from t_digest_spark.operators.dedup import simhash_dedup
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    k = 600
+    planted = spark.range(k).select(
+        (F.col("id") + 2_000_000).alias("doc_id"),
+        F.lit("another distinctive planted boilerplate paragraph for "
+              "the simhash dedup oracle full of rare tokens gazebo "
+              "fjord sphinx quartz vortex banjo").alias("text"))
+    both = docs.unionByName(planted)
+    dec = simhash_dedup(both, "text", "doc_id", max_hamming=3,
+                        verify=True)
+    return (dec.where(F.col("doc_id") >= 2_000_000)
+            .select("doc_id", "rep_id", "is_keeper"))
+
+
+def _q_embedding_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scale keep/drop embedding dedup (operators/dedup.py
+    embedding_dedup): 300 deterministic perturbations of embedding 0
+    (element i of twin j scaled by 1 + ((j + 31·i) % 7)/1000, cosine
+    ~0.999998 to the base and ~0.999996 twin-to-twin) are planted as
+    ids 2,000,000..2,000,299 next to the full embeddings table.  The
+    base vector 0 itself joins the duplicate component (it IS a
+    near-dup of every twin), so every planted row must resolve to
+    rep_id 0 with is_keeper false — the keeper is the natural base
+    row, exactly what a crawl dedup should decide when a cluster's
+    minimum id is an original already in the corpus.  Per-band miss
+    probability at this cosine is ~1e-8 (16 planes x 4 bands), so the
+    planted answer is deterministic under the fixed seed; cosine
+    verification against bucket minima (threshold 0.95) rules out any
+    natural vector (max natural pair cosine ~0.55) sneaking in."""
+    from t_digest_spark.operators.dedup import embedding_dedup
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"))
+    k = 300
+    base0 = emb.where(F.col("vec_id") == 0).select("embedding")
+    planted = (spark.range(k).crossJoin(base0)
+               .select((F.col("id") + 2_000_000).alias("vec_id"),
+                       F.transform(
+                           "embedding",
+                           lambda x, i: x * (1 + ((F.col("id") + 31 * i)
+                                                  % 7) / 1000.0)
+                       ).alias("embedding")))
+    both = emb.unionByName(planted)
+    dec = embedding_dedup(both, "embedding", "vec_id",
+                          n_planes=16, n_bands=4, threshold=0.95)
+    return (dec.where(F.col("vec_id") >= 2_000_000)
+            .select("vec_id", "rep_id", "is_keeper"))
+
+
 def _q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH near-dup over embeddings
     (operators/dedup.py embedding_cosine_pairs, 4 bands x 16 planes).
@@ -529,15 +595,22 @@ def _q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN planted-neighbor recall (operators/similarity.py): the
+    """IVF ANN planted-neighbor recall through the FULL index
+    lifecycle (operators/similarity.py): train centroids with the
+    distributed bottom-m sample (ivf_fit — bounded driver traffic, no
+    limit().collect()), persist the centroid table (ivf_save), reload
+    it (ivf_load), re-assign the corpus (ivf_assign), then query.  The
     first 16 embeddings, deterministically perturbed (cosine ~0.999998
-    to their base), are the queries; the IVF index (16 lists, seeded
-    k-means, nprobe=4) must return the planted base vector as top-1 —
-    the standard planted-NN ANN check, computed in ONE Spark job via
-    ivf_topk_batch.  (The raw embeddings have no cluster structure —
-    max base-pair cosine ~0.55 — so generic recall@10 would measure
-    noise, not index quality.)  All-true oracle."""
-    from t_digest_spark.operators.similarity import ivf_build, ivf_topk_batch
+    to their base), are the queries; the reloaded index (16 lists,
+    seeded k-means, nprobe=4) must return the planted base vector as
+    top-1 — the standard planted-NN ANN check, computed in ONE Spark
+    job via ivf_topk_batch.  (The raw embeddings have no cluster
+    structure — max base-pair cosine ~0.55 — so generic recall@10
+    would measure noise, not index quality.)  All-true oracle."""
+    import tempfile
+
+    from t_digest_spark.operators.similarity import (
+        ivf_assign, ivf_fit, ivf_load, ivf_save, ivf_topk_batch)
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").cast("long").alias("query_id"),
@@ -545,7 +618,11 @@ def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").cast("array<double>"),
             lambda x, i: x * (1 + ((F.col("vec_id") + 31 * i) % 7) / 1000.0)
         ).alias("query_vec"))
-    indexed, cents = ivf_build(emb, n_lists=16)
+    with tempfile.TemporaryDirectory() as tmp:
+        cents_trained = ivf_fit(emb, n_lists=16)
+        ivf_save(spark, cents_trained, f"{tmp}/centroids")
+        cents = ivf_load(spark, f"{tmp}/centroids")
+    indexed = ivf_assign(emb, cents)
     top1 = ivf_topk_batch(indexed, cents, queries_df, k=1, nprobe=4)
     return (queries_df.select("query_id")
             .join(top1.select("query_id",
@@ -808,6 +885,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": _q_minhash_pairs,
     "simhash_neardup_pairs": _q_simhash_neardup_pairs,
     "minhash_dedup_cluster": _q_minhash_dedup_cluster,
+    "simhash_dedup_cluster": _q_simhash_dedup_cluster,
+    "embedding_dedup_cluster": _q_embedding_dedup_cluster,
     "embedding_neardup_pairs": _q_embedding_neardup_pairs,
     "ann_topk": _q_ann_topk,
     "ivf_recall": _q_ivf_recall,
@@ -992,6 +1071,18 @@ ORACLES: dict[str, str] = {
                (i = 0) AS is_keeper,
                CAST(1997 AS BIGINT) AS n_cand_edges
         FROM range(1000) t(i)
+    """,
+    "simhash_dedup_cluster": """
+        SELECT CAST(2000000 + i AS BIGINT) AS doc_id,
+               CAST(2000000 AS BIGINT) AS rep_id,
+               (i = 0) AS is_keeper
+        FROM range(600) t(i)
+    """,
+    "embedding_dedup_cluster": """
+        SELECT CAST(2000000 + i AS BIGINT) AS vec_id,
+               CAST(0 AS BIGINT) AS rep_id,
+               false AS is_keeper
+        FROM range(300) t(i)
     """,
     "embedding_neardup_pairs": """
         WITH base AS (

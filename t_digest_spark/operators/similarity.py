@@ -17,10 +17,12 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["brute_force_topk", "brute_force_topk_batch", "lsh_topk",
+           "ivf_fit", "ivf_assign", "ivf_save", "ivf_load",
            "ivf_build", "ivf_topk", "ivf_topk_batch", "cosine_to_query"]
 
 
@@ -95,15 +97,11 @@ def lsh_topk(df: DataFrame, query, k: int = 10, vec_col: str = "embedding",
     return brute_force_topk(hit, query, k, vec_col, id_col)
 
 
-def ivf_build(df: DataFrame, n_lists: int = 16, vec_col: str = "embedding",
-              id_col: str = "vec_id", sample: int = 2048, iters: int = 8,
-              seed: int = 17) -> tuple[DataFrame, np.ndarray]:
-    """Inverted-file index: sample → NumPy k-means → assign every row
-    to its nearest centroid JVM-side (argmax over a small broadcast
-    literal centroid set).  Returns (indexed_df, centroids)."""
-    rows = (df.select(vec_col).limit(sample).collect())
-    X = np.asarray([r[0] for r in rows], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+def _kmeans_cosine(X: np.ndarray, n_lists: int, iters: int,
+                   seed: int) -> np.ndarray:
+    """Spherical k-means on unit-normalized rows (driver-side NumPy —
+    the sample is small by construction)."""
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
     for _ in range(iters):
@@ -114,15 +112,129 @@ def ivf_build(df: DataFrame, n_lists: int = 16, vec_col: str = "embedding",
             if len(members):
                 v = members.mean(axis=0)
                 cent[c] = v / max(np.linalg.norm(v), 1e-12)
-    # assignment expression: argmax of dot(vec, centroid_c)
-    dots = F.array(*[
-        F.struct(_dot_with_literal(vec_col, c).alias("dot"),
-                 F.lit(i).alias("list_id"))
-        for i, c in enumerate(cent)
-    ])
-    indexed = df.withColumn("__list",
-                            F.array_max(dots).getField("list_id"))
-    return indexed, cent
+    return cent
+
+
+def ivf_fit(df: DataFrame, n_lists: int = 16, vec_col: str = "embedding",
+            sample: int = 2048, sample_per_partition: int = 256,
+            iters: int = 8, seed: int = 17) -> np.ndarray:
+    """Train IVF centroids with a DISTRIBUTED uniform sample: every row
+    gets a JVM-side ``rand(seed)`` key, each partition keeps its
+    bottom-``sample_per_partition`` keys (vectorized argpartition over
+    Arrow batches — a mergeable bottom-m sketch, i.e. a uniform sample
+    without replacement), and the driver keeps the global bottom-
+    ``sample`` before fitting spherical k-means.  Driver traffic is
+    bounded by partitions x sample_per_partition rows regardless of
+    table size — no ``limit().collect()`` over the raw table, and no
+    head-of-table bias (the old ``limit(sample)`` sampled whatever
+    partition listed first)."""
+    import pyarrow as pa
+
+    keyed = df.select(F.rand(seed).alias("__k"),
+                      F.col(vec_col).cast("array<double>").alias("__v")) \
+        .where(F.col("__v").isNotNull())
+    m = sample_per_partition
+
+    def bottom_m(batches):
+        keys = None
+        vecs = None
+        for batch in batches:
+            k = batch.column(0).to_numpy(zero_copy_only=False)
+            v = batch.column(1)
+            if keys is not None:
+                k = np.concatenate([keys, k])
+                v = pa.concat_arrays([vecs, v])
+            if len(k) > m:
+                idx = np.argpartition(k, m)[:m]
+                keys = k[idx]
+                vecs = v.take(pa.array(idx))
+            else:
+                keys, vecs = k, v
+        if keys is not None and len(keys):
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(keys, type=pa.float64()), vecs],
+                names=["__k", "__v"])
+
+    rows = (keyed.mapInArrow(bottom_m, "__k double, __v array<double>")
+            .collect())
+    rows.sort(key=lambda r: r["__k"])
+    X = np.asarray([r["__v"] for r in rows[:sample]], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("ivf_fit: no non-null vectors to sample")
+    return _kmeans_cosine(X, n_lists, iters, seed)
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding",
+               list_col: str = "__list",
+               _impl: str | None = None) -> DataFrame:
+    """Assign every row to its nearest centroid (max dot product on
+    the raw vector — centroids are unit-norm, so this IS nearest by
+    cosine).  Two physical paths, same semantics:
+
+    - small centroid sets (<= 32): pure JVM expression — argmax over a
+      literal centroid array, whole-stage-codegen'd, zero Python.
+    - larger sets: one Arrow-batched matmul per batch against the
+      closure-captured centroid matrix (a literal expression with
+      hundreds of aggregate() terms would blow up codegen).
+
+    ``_impl`` ("expr"/"arrow") forces a path — used by the parity test
+    only; the default picks by centroid count."""
+    if _impl not in (None, "expr", "arrow"):
+        raise ValueError(f"unknown _impl {_impl!r}")
+    if _impl == "expr" or (_impl is None and len(centroids) <= 32):
+        dots = F.array(*[
+            F.struct(_dot_with_literal(vec_col, c).alias("dot"),
+                     F.lit(i).alias("list_id"))
+            for i, c in enumerate(centroids)
+        ])
+        return df.withColumn(list_col,
+                             F.array_max(dots).getField("list_id"))
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    cent_t = np.ascontiguousarray(centroids.T)
+
+    @pandas_udf(IntegerType())
+    def nearest(vs: pd.Series) -> pd.Series:
+        mask = vs.notna().to_numpy()
+        out = np.full(len(vs), -1, dtype=np.int32)
+        if mask.any():
+            x = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in vs[mask]])
+            out[mask] = (x @ cent_t).argmax(axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    return df.withColumn(
+        list_col, nearest(F.col(vec_col).cast("array<double>")))
+
+
+def ivf_save(spark, centroids: np.ndarray, path: str) -> None:
+    """Persist the trained centroids as a (list_id, centroid) parquet
+    table — train once, reuse across jobs; loaders broadcast it."""
+    rows = [(int(i), [float(x) for x in c])
+            for i, c in enumerate(centroids)]
+    (spark.createDataFrame(rows, "list_id int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def ivf_load(spark, path: str) -> np.ndarray:
+    """Load persisted centroids back into the (tiny) driver-side
+    matrix that ivf_assign/ivf_topk broadcast into their plans."""
+    rows = spark.read.parquet(path).orderBy("list_id").collect()
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ivf_build(df: DataFrame, n_lists: int = 16, vec_col: str = "embedding",
+              id_col: str = "vec_id", sample: int = 2048, iters: int = 8,
+              seed: int = 17) -> tuple[DataFrame, np.ndarray]:
+    """Inverted-file index: distributed sample → NumPy k-means →
+    assign every row to its nearest centroid (ivf_assign).
+    Returns (indexed_df, centroids).  For a persistent index, follow
+    with ``ivf_save`` and later ``ivf_load`` + ``ivf_assign``."""
+    cent = ivf_fit(df, n_lists, vec_col, sample=sample, iters=iters,
+                   seed=seed)
+    return ivf_assign(df, cent, vec_col), cent
 
 
 def ivf_topk(indexed: DataFrame, centroids: np.ndarray, query,

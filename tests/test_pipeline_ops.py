@@ -710,3 +710,39 @@ def test_embedding_ops_launch_no_dim_inference_job(spark):
     assert counts["no-dim"] == counts["with-dim"], counts
     # and the lazily-derived planes still give a correct (empty) answer
     assert plan_b.count() == 0
+
+
+def test_ivf_lifecycle_build_save_load_query(spark, tmp_path):
+    """IVF index lifecycle (operators/similarity.py): train with the
+    distributed bottom-m sample (bounded driver traffic, no
+    limit().collect() head bias), persist the centroid table, reload
+    it, re-assign, and query — planted twin must come back top-1.
+    Also checks the two ivf_assign paths (JVM expression vs Arrow
+    matmul) agree on every row."""
+    from t_digest_spark.operators.similarity import (
+        ivf_assign, ivf_fit, ivf_load, ivf_save, ivf_topk)
+    rng = np.random.default_rng(11)
+    base = [(int(i), rng.normal(size=12).tolist()) for i in range(200)]
+    sdf = spark.createDataFrame(base,
+                                "vec_id long, embedding array<double>") \
+        .repartition(4)
+    cent = ivf_fit(sdf, n_lists=8, sample=128, sample_per_partition=64)
+    assert cent.shape == (8, 12)
+    np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0,
+                               rtol=1e-9)
+    path = str(tmp_path / "ivf_index")
+    ivf_save(spark, cent, path)
+    cent2 = ivf_load(spark, path)
+    np.testing.assert_array_equal(cent, cent2)
+    indexed = ivf_assign(sdf, cent2)
+    # query: a perturbed twin of vec 7 must hit vec 7 top-1
+    q = np.asarray(base[7][1]) * 1.0001
+    top = ivf_topk(indexed, cent2, q, k=1, nprobe=4).first()
+    assert top.vec_id == 7
+    # path parity: same centroids through the JVM expression path and
+    # the Arrow matmul path must assign every row identically
+    expr = {r.vec_id: r["__list"]
+            for r in ivf_assign(sdf, cent2, _impl="expr").collect()}
+    arrow = {r.vec_id: r["__list"]
+             for r in ivf_assign(sdf, cent2, _impl="arrow").collect()}
+    assert expr == arrow
