@@ -475,8 +475,22 @@ def lsh_components(edges: DataFrame, id_col: str = "doc_id",
                           .alias("__rep"),
                           (F.col("__nmin") < F.col("__rep"))
                           .alias("__chg")))
-        merged = _ckpt(merged, True)
-        changed = merged.where("__chg").limit(1).count()
+        if checkpoint_dir is not None:
+            # durable mode: reliable checkpoint, then a separate
+            # convergence scan (2 jobs/round — durability over latency)
+            merged = merged.checkpoint(eager=True)
+            changed = merged.where("__chg").limit(1).count()
+        else:
+            # ONE job per round: a LAZY localCheckpoint whose blocks
+            # are materialized by the full-scan convergence count
+            # itself (no limit — every partition is computed, so the
+            # checkpoint is complete and later rounds read blocks, not
+            # lineage).  This replaced eager localCheckpoint + a
+            # second count job per round: the per-job fixed overhead
+            # of those extra jobs was a measurable serial (Amdahl)
+            # term in the 2-vs-8-core dedup scaling windows.
+            merged = merged.localCheckpoint(eager=False)
+            changed = merged.where("__chg").count()
         labels = merged.select("__id", "__rep")
         if changed == 0:
             break

@@ -9,11 +9,17 @@ each; the first ``--dup-frac`` of ids form duplicate clusters of
 ``--cluster-size`` identical documents, the rest are unique.  The
 correct keeper count is known in closed form and asserted every run.
 
-Levels run in separate subprocesses (fresh JVM), temporally adjacent,
-same input seedless-deterministic corpus.  Output appends to
-BENCH/dedup_scaling.json.
+Measurement methodology == bench_scaling.py (the flagship job's
+north-rule harness): levels run in separate subprocesses (fresh JVM)
+in temporally ADJACENT pairs with alternating order, a pure-CPU
+fixed-work calibration runs adjacent to every pair, every run appends
+to BENCH/dedup_scaling_history.json, and BENCH/dedup_scaling.json
+carries the latest window plus the ROBUST verdict: median pair
+efficiency pooled over every window whose compute path (fingerprint
+over the dedup job's source files) matches the current tree.
 
 Usage: python tools/bench_dedup.py [--docs 400000] [--levels 2,8]
+                                   [--pairs 3]
 """
 
 from __future__ import annotations
@@ -28,6 +34,32 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+# the files whose code actually RUNS in the measured dedup job — the
+# multi-window verdict pools only windows with an identical compute
+# path (see bench_scaling.JOB_FILES for the rationale)
+DEDUP_JOB_FILES = (
+    "t_digest_spark/operators/dedup.py",
+    "t_digest_spark/operators/text.py",
+    "t_digest_spark/session.py",
+)
+
+
+def dedup_job_fingerprint(rev: str | None = None) -> str:
+    import hashlib
+    import subprocess as sp
+
+    h = hashlib.sha256()
+    for f in DEDUP_JOB_FILES:
+        if rev:
+            out = sp.run(["git", "show", f"{rev}:{f}"], cwd=REPO,
+                         capture_output=True, check=True)
+            h.update(out.stdout)
+        else:
+            with open(os.path.join(REPO, f), "rb") as fh:
+                h.update(fh.read())
+    return h.hexdigest()[:12]
 
 
 def corpus(spark, n_docs: int, cluster_size: int, dup_frac: float):
@@ -101,6 +133,7 @@ def main() -> None:
     ap.add_argument("--dup-frac", type=float, default=0.2)
     ap.add_argument("--levels", type=str, default="2,8")
     ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--pairs", type=int, default=3)
     ap.add_argument("--child", type=int, default=0)
     args = ap.parse_args()
 
@@ -111,6 +144,7 @@ def main() -> None:
         return
 
     lo, hi = (int(x) for x in args.levels.split(","))
+    from bench_scaling import calibrate
 
     def child(cpus: int) -> dict:
         out = subprocess.run(
@@ -122,29 +156,90 @@ def main() -> None:
             capture_output=True, text=True, cwd=REPO, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    r_lo = child(lo)
-    r_hi = child(hi)
-    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    pairs = []
+    for i in range(args.pairs):
+        cal = calibrate((lo, hi))
+        if i % 2 == 0:
+            r_lo = child(lo)
+            r_hi = child(hi)
+        else:
+            r_hi = child(hi)
+            r_lo = child(lo)
+        ratio = r_hi["docs_per_sec"] / r_lo["docs_per_sec"]
+        pairs.append({"pair": i, "lo": r_lo, "hi": r_hi,
+                      "ratio": round(ratio, 3),
+                      "efficiency": round(ratio / (hi / lo), 3),
+                      "cpu_ceiling": cal["ceiling"]})
+        print(pairs[-1], flush=True)
+
+    effs = sorted(p["efficiency"] for p in pairs)
+    ceils = sorted(p["cpu_ceiling"] for p in pairs)
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, check=True).stdout.strip()
+    except Exception:
+        rev = "unknown"
     summary = {
         "job": "minhash_dedup keep/drop (64 perms, 16 bands, "
                "components to fixpoint)",
+        "code_rev": rev,
+        "job_fp": dedup_job_fingerprint(),
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "docs": args.docs,
         "cluster_size": args.cluster_size,
         "dup_frac": args.dup_frac,
-        f"local{lo}": r_lo,
-        f"local{hi}": r_hi,
-        "efficiency": round(eff, 3),
+        "levels": [lo, hi],
+        "pairs": pairs,
+        "median_efficiency": effs[len(effs) // 2],
+        "median_cpu_ceiling": ceils[len(ceils) // 2],
     }
-    out_path = os.path.join(REPO, "BENCH", "dedup_scaling.json")
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    hist_path = os.path.join(REPO, "BENCH", "dedup_scaling_history.json")
     hist = []
-    if os.path.exists(out_path):
-        with open(out_path) as f:
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
             hist = json.load(f)
     hist.append(summary)
-    with open(out_path, "w") as f:
+    with open(hist_path, "w") as f:
         json.dump(hist, f, indent=2)
-    print(json.dumps(summary))
+
+    # verdict doc: latest window + the pooled multi-window verdict at
+    # the current compute-path fingerprint (see module docstring)
+    cur_fp = summary["job_fp"]
+
+    def run_fp(r) -> str:
+        if "job_fp" in r:
+            return r["job_fp"]
+        rev_r = r.get("code_rev")
+        if not rev_r:
+            return "unknown"
+        try:
+            return dedup_job_fingerprint(rev_r)
+        except Exception:
+            return "unknown"
+
+    cur_runs = [r for r in hist
+                if r.get("levels") == [lo, hi] and run_fp(r) == cur_fp]
+    pooled = sorted(p["efficiency"] for r in cur_runs for p in r["pairs"])
+    pooled_ceil = sorted(
+        p["cpu_ceiling"] for r in cur_runs for p in r["pairs"])
+    verdict = dict(summary)
+    verdict["multi_run"] = {
+        "job_fp": cur_fp,
+        "code_revs": sorted({r.get("code_rev", "?") for r in cur_runs}),
+        "windows": len(cur_runs),
+        "pairs": len(pooled),
+        "pair_efficiencies": pooled,
+        "median_efficiency": pooled[len(pooled) // 2],
+        "median_cpu_ceiling": pooled_ceil[len(pooled_ceil) // 2],
+        "run_medians": [r["median_efficiency"] for r in cur_runs],
+    }
+    verdict["target"] = 0.8
+    verdict["pass"] = verdict["multi_run"]["median_efficiency"] >= 0.8
+    with open(os.path.join(REPO, "BENCH", "dedup_scaling.json"), "w") as f:
+        json.dump(verdict, f, indent=2)
+    print(json.dumps(verdict))
 
 
 if __name__ == "__main__":
