@@ -102,18 +102,65 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_M30 = np.uint64((1 << 30) - 1)
+_M31 = np.uint64((1 << 31) - 1)
+
+
+def _perm_matrix_ws(a1, a0, bb, h, ws):
+    """(a·h + b) mod (2^61 - 1) into preallocated workspace buffers —
+    bit-identical to ``_mod61(_mulmod61(a, h) + b)`` (asserted in
+    tests) but with TWO reused (num_perm x chunk) buffers instead of
+    ~8 fresh temporaries per chunk.  At chunk=1024 the working set is
+    ~1 MB per worker (L2-resident): measured 33% faster single-thread
+    and — the actual point — 8-process scaling efficiency 0.9 vs 0.68
+    for the allocating version at chunk 8192, because the temporaries
+    no longer stream through the cores' SHARED cache/DRAM."""
+    t1, t2, ge = ws
+    h1 = h >> np.uint64(31)
+    h0 = h & _M31
+    np.multiply(a1, h0, out=t1)
+    np.multiply(a0, h1, out=t2)
+    t1 += t2                                   # t = a1*h0 + a0*h1
+    np.right_shift(t1, np.uint64(30), out=t2)  # mid hi part
+    t1 &= _M30
+    t1 <<= np.uint64(31)
+    t2 += t1                                   # mid
+    np.multiply(a1, h1, out=t1)
+    t1 *= np.uint64(2)
+    t1 += t2                                   # 2*a1*h1 + mid
+    np.multiply(a0, h0, out=t2)
+    t1 += t2                                   # + a0*h0  (< 2^63)
+    for _ in range(2):                         # _mod61 fold
+        np.right_shift(t1, np.uint64(61), out=t2)
+        t1 &= np.uint64(_MERSENNE)
+        t1 += t2
+    np.greater_equal(t1, np.uint64(_MERSENNE), out=ge)
+    np.subtract(t1, np.uint64(_MERSENNE), out=t2)
+    np.copyto(t1, t2, where=ge)                # a·h mod p, in [0, p)
+    t1 += bb
+    for _ in range(2):
+        np.right_shift(t1, np.uint64(61), out=t2)
+        t1 &= np.uint64(_MERSENNE)
+        t1 += t2
+    np.greater_equal(t1, np.uint64(_MERSENNE), out=ge)
+    np.subtract(t1, np.uint64(_MERSENNE), out=t2)
+    np.copyto(t1, t2, where=ge)
+    return t1
+
+
 def minhash_signature(shingles_col, num_perm: int = 64,
                       seed: int = 7):
     """MinHash signature (array<long>) from an array-of-shingle-hashes
     column.  Vectorized: one (num_perm x n_shingles) NumPy min-reduce
     per row batch via a pandas UDF (shingle hashing itself already
-    happened JVM-side in shingle_fingerprints)."""
+    happened upstream in shingle_fingerprints)."""
     a, b = _perm_params(num_perm, seed)
 
     @pandas_udf(ArrayType(LongType()))
     def f(sh: pd.Series) -> pd.Series:
         aa = a.astype(np.uint64)[:, None]
         bb = b.astype(np.uint64)[:, None]
+        a1, a0 = aa >> np.uint64(31), aa & _M31
         n = len(sh)
         out = [None] * n
         vals = sh.to_numpy()
@@ -121,15 +168,24 @@ def minhash_signature(shingles_col, num_perm: int = 64,
                            dtype=np.int64, count=n)
         idx = np.flatnonzero(lens > 0)
         # whole-batch vectorization in row chunks: concatenate the
-        # chunk's shingle hashes, one (num_perm x total_shingles)
-        # modular-hash matrix, per-row minima via minimum.reduceat on
-        # the row boundaries.  The chunk target bounds the matrix and
-        # the ~6 split-multiply temporaries: at 8 Ki shingles x 64
-        # perms they stay ~4 MB each (cache-resident); the earlier
-        # 64 Ki target spilled every temporary to DRAM and measured
-        # 5x slower per doc (and scaled worse — shared memory
-        # bandwidth is the contended resource on a multi-core host).
-        target = 8192
+        # chunk's shingle hashes, one (num_perm x target) modular-hash
+        # matrix into REUSED FULL-WIDTH workspace buffers, per-row
+        # minima via minimum.reduceat on the row boundaries.  The
+        # chunk target bounds the working set: 1024 shingles x 64
+        # perms x 2 uint64 buffers ~ 1 MB — per-core-cache resident
+        # (see _perm_matrix_ws for the measured scaling effect; the
+        # round-3 8 Ki target with allocating temporaries was the
+        # next-best shape, and 64 Ki measured 5x slower per doc).
+        # Chunks are padded to the buffer width rather than sliced:
+        # a [:, :w] view de-contiguates every ufunc and measured 2.1x
+        # slower; padded columns are overwritten with 2^62 (> p) so
+        # they can never win a row's min.
+        target = 1024
+        big = np.uint64(1) << np.uint64(62)
+        ws_full = (np.empty((num_perm, target), dtype=np.uint64),
+                   np.empty((num_perm, target), dtype=np.uint64),
+                   np.empty((num_perm, target), dtype=bool))
+        flat_buf = np.zeros((1, target), dtype=np.uint64)
         start = 0
         while start < len(idx):
             end, tot = start, 0
@@ -138,15 +194,27 @@ def minhash_signature(shingles_col, num_perm: int = 64,
                 tot += lens[idx[end]]
                 end += 1
             rows = idx[start:end]
-            flat = np.concatenate(
+            cc = np.concatenate(
                 [np.asarray(vals[i], dtype=np.int64) for i in rows]
-            ).astype(np.uint64)[None, :]
-            sig = _mod61(_mulmod61(aa, _mod61(flat)) + bb)
+            ).astype(np.uint64)
+            w = len(cc)
+            if w <= target:
+                flat_buf[0, :w] = cc
+                sig = _perm_matrix_ws(a1, a0, bb, _mod61(flat_buf),
+                                      ws_full)
+                if w < target:
+                    sig[:, w:] = big
+            else:  # one oversized document: one-off buffers
+                ws1 = (np.empty((num_perm, w), dtype=np.uint64),
+                       np.empty((num_perm, w), dtype=np.uint64),
+                       np.empty((num_perm, w), dtype=bool))
+                sig = _perm_matrix_ws(a1, a0, bb, _mod61(cc[None, :]),
+                                      ws1)
             starts = np.concatenate(([0], np.cumsum(lens[rows])[:-1]))
             mins = np.minimum.reduceat(sig, starts, axis=1) \
                 .astype(np.int64)
             for j, i in enumerate(rows):
-                out[i] = mins[:, j].tolist()
+                out[i] = mins[:, j]
             start = end
         return pd.Series(out)
 
@@ -155,13 +223,16 @@ def minhash_signature(shingles_col, num_perm: int = 64,
 
 def _band_keys(sig_col: str, bands: int, rows_per_band: int):
     """posexplode(band -> xxhash64 of that signature slice) as
-    (__band, __key) — the shared LSH banding for pairs and dedup."""
+    (__band, __key) — the shared LSH banding for pairs and dedup.
+    The slice (array<long>) is hashed directly — xxhash64 hashes array
+    elements natively, and the earlier ``concat_ws`` form paid a
+    long->string render of the whole signature per document."""
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     return F.posexplode(F.transform(
         band_idx,
-        lambda i: F.xxhash64(F.concat_ws(
-            ",", F.slice(sig_col, i * rows_per_band + 1,
-                         rows_per_band))))).alias("__band", "__key")
+        lambda i: F.xxhash64(
+            F.slice(sig_col, i * rows_per_band + 1,
+                    rows_per_band)))).alias("__band", "__key")
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -412,21 +483,77 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
 # in b bands costs O(k*b) rows total — never k^2.
 
 
+def _driver_components(id_series, b_series, max_iter: int):
+    """Vectorized hash-to-min over a driver-resident edge table:
+    factorize ids/buckets to dense codes, then per round one
+    ``minimum.at`` scatter per direction — O(E) NumPy per round,
+    rounds = component diameter.  Returns (unique_id_values,
+    rep_value_per_unique_id)."""
+    id_codes, id_vals = pd.factorize(id_series, sort=False)
+    b_codes, b_vals = pd.factorize(b_series, sort=False)
+    # labels are RANKS in the ids' natural sort order, so "min label"
+    # is "min id" for any orderable id type (ints, strings, ...)
+    order = np.argsort(id_vals)
+    rank = np.empty(len(id_vals), dtype=np.int64)
+    rank[order] = np.arange(len(id_vals))
+    lab = rank.copy()
+    for _ in range(max_iter):
+        b_lab = np.full(len(b_vals), np.iinfo(np.int64).max)
+        np.minimum.at(b_lab, b_codes, lab[id_codes])
+        new = lab.copy()
+        np.minimum.at(new, id_codes, b_lab[b_codes])
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    else:
+        import warnings
+
+        warnings.warn(
+            f"lsh_components: not converged after {max_iter} rounds; "
+            "labels are valid but possibly under-merged — raise "
+            "max_iter", RuntimeWarning, stacklevel=3)
+    # rep value of unique id i = the id whose rank is lab[i]
+    reps = np.asarray(id_vals)[order][lab]
+    return id_vals, reps
+
+
+# edge-count gate below which the pruned duplicate subgraph is solved
+# driver-side (one Arrow collect + vectorized NumPy propagation)
+# instead of iterating Spark jobs over it.  ~4M edges is ~100 MB of
+# driver pandas — trivially safe, and it removes ~15 short shuffle
+# stages whose fixed scheduling overhead is pure serial time.
+DRIVER_COMPONENT_MAX_EDGES = 4_000_000
+
+
 def lsh_components(edges: DataFrame, id_col: str = "doc_id",
                    bucket_col: str = "__bucket",
                    max_iter: int = 10,
-                   checkpoint_dir: str | None = None) -> DataFrame:
+                   checkpoint_dir: str | None = None,
+                   driver_max_edges: int | None = None,
+                   assume_distinct: bool = False,
+                   all_ids: DataFrame | None = None) -> DataFrame:
     """Connected components of a bipartite (id, bucket) graph.
 
     Returns (id_col, rep_id) where rep_id is the component-wide minimum
-    id.  Alternating min-label propagation: each round sets every
-    bucket's label to the min label of its members, then every member's
-    label to the min label of its buckets.  Labels only ever decrease,
-    so a round that changes nothing is a fixpoint; rounds needed equal
-    the component diameter in bucket-hops (2-3 for LSH duplicate
-    clusters, which are near-cliques).  Each round is two shuffles of
-    (key, label) rows — O(E) — plus one O(E) action for the
-    convergence check.
+    id.  Two physical strategies, identical results (asserted
+    bit-equal in tests/test_pipeline_ops.py):
+
+    - **small pruned subgraph** (edge count <= ``driver_max_edges``,
+      default ``DRIVER_COMPONENT_MAX_EDGES``): collect the pruned
+      duplicate subgraph to the driver via Arrow and run the same
+      hash-to-min propagation vectorized in NumPy (microseconds per
+      round), then broadcast the (id, rep) map back.  On a crawl-scale
+      run MOST of the corpus is singleton-pruned before this gate, so
+      the gate measures the actual duplicate subgraph, not the corpus.
+    - **large subgraph**: alternating min-label propagation as Spark
+      jobs — each round sets every bucket's label to the min label of
+      its members, then every member's label to the min label of its
+      buckets.  Labels only ever decrease, so a round that changes
+      nothing is a fixpoint; rounds needed equal the component
+      diameter in bucket-hops (2-3 for LSH duplicate clusters, which
+      are near-cliques).  Each round is two O(E) shuffles whose
+      convergence count doubles as the round's checkpoint
+      materialization.
 
     Lineage across iterations is truncated with ``localCheckpoint`` by
     default (executor-local blocks — fast, but lost if an executor
@@ -434,8 +561,20 @@ def lsh_components(edges: DataFrame, id_col: str = "doc_id",
     checkpoints instead: on a production cluster with preemptible /
     flaky executors this writes each iteration's labels to the fault-
     tolerant store (HDFS/S3) so a lost executor replays from the last
-    checkpoint, not from the raw LSH signatures.
+    checkpoint, not from the raw LSH signatures.  ``checkpoint_dir``
+    also forces the distributed path (a driver-resident solve has no
+    executor-failure story to checkpoint).
+
+    ``assume_distinct=True`` skips the defensive (id, bucket)
+    dropDuplicates — a full shuffle of the edge table — for callers
+    whose buckets are distinct by construction (every LSH banding here
+    tags the bucket hash with the band index).  ``all_ids`` supplies
+    the universe of ids (each id exactly once) so it isn't re-derived
+    by a distinct() over the edge table; ids absent from ``edges``
+    come back as their own representative either way.
     """
+    if driver_max_edges is None:
+        driver_max_edges = DRIVER_COMPONENT_MAX_EDGES
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -449,18 +588,54 @@ def lsh_components(edges: DataFrame, id_col: str = "doc_id",
     # (ids, bucket counts, pruned edges, every iteration) derives from
     # it, and without the checkpoint each derivation would recompute
     # the whole upstream (LSH signatures included) from scratch
-    e_all = _ckpt(edges.select(F.col(id_col).alias("__id"),
-                               F.col(bucket_col).alias("__b"))
-                  .dropDuplicates(["__id", "__b"]), False)
+    e_all = edges.select(F.col(id_col).alias("__id"),
+                         F.col(bucket_col).alias("__b"))
+    if not assume_distinct:
+        e_all = e_all.dropDuplicates(["__id", "__b"])
+    e_all = _ckpt(e_all, False)
     # singleton-bucket pruning: a bucket with one member contributes no
     # edge, and on a crawl-scale corpus MOST buckets are singletons
     # (every non-duplicate doc's bands) — dropping them up front means
     # the iterations shuffle only the duplicate-cluster subgraph.
     # Pruned ids are their own representative by definition.
-    all_ids = e_all.select("__id").distinct()
+    if all_ids is None:
+        all_ids = e_all.select("__id").distinct()
+    else:
+        all_ids = all_ids.select(
+            F.col(all_ids.columns[0]).alias("__id"))
     multi = (e_all.groupBy("__b").agg(F.count("*").alias("__c"))
              .where(F.col("__c") > 1).select("__b"))
     e = _ckpt(e_all.join(multi, "__b"), False)
+    if checkpoint_dir is None:
+        # the count doubles as the materializing action for both
+        # checkpoints above; its value is the driver-path gate
+        n_edges = e.count()
+        if n_edges == 0:
+            return all_ids.select(
+                F.col("__id").alias(id_col),
+                F.col("__id").alias("rep_id"))
+        if n_edges <= driver_max_edges:
+            # toArrow is the guaranteed-Arrow collect path (no conf
+            # dependence): C-speed transfer + to_pandas, vs seconds of
+            # Row-object conversion for a million-edge subgraph
+            pdf = e.toArrow().to_pandas()
+            b_series = pdf["__b"]
+            if b_series.dtype == object and len(b_series) and \
+                    not isinstance(b_series.iloc[0], (str, bytes)):
+                # struct/array bucket keys (verified-edge hyperedges):
+                # factorize over their string form — schema order is
+                # fixed, so the repr is a faithful equality key
+                b_series = b_series.astype(str)
+            id_vals, reps = _driver_components(pdf["__id"], b_series,
+                                               max_iter)
+            spark = edges.sparkSession
+            lab_df = spark.createDataFrame(
+                pd.DataFrame({"__id": np.asarray(id_vals),
+                              "__rep": reps}))
+            return (all_ids.join(F.broadcast(lab_df), "__id", "left")
+                    .select(F.col("__id").alias(id_col),
+                            F.coalesce("__rep", F.col("__id"))
+                            .alias("rep_id")))
     labels = (e.select("__id").distinct()
               .withColumn("__rep", F.col("__id")))
     for _ in range(max_iter):
@@ -514,12 +689,21 @@ def lsh_components(edges: DataFrame, id_col: str = "doc_id",
 def _dedup_decisions(ids_and_buckets: DataFrame, id_col: str,
                      verified_edges: DataFrame | None,
                      max_iter: int,
-                     checkpoint_dir: str | None = None) -> DataFrame:
+                     checkpoint_dir: str | None = None,
+                     all_ids: DataFrame | None = None) -> DataFrame:
     """(id, rep_id, is_keeper) from either the raw bucket graph or a
-    verified edge list (each edge re-expressed as a 2-member bucket)."""
+    verified edge list (each edge re-expressed as a 2-member bucket).
+
+    ``all_ids`` (one row per id, from the caller's source table) keeps
+    the id universe from being re-derived with a distinct() over the
+    much larger bucket table; ids with no bucket/edge are their own
+    representative."""
+    if all_ids is None:
+        all_ids = ids_and_buckets.select(id_col).distinct()
     if verified_edges is None:
         comp = lsh_components(ids_and_buckets, id_col, "__bucket",
-                              max_iter, checkpoint_dir)
+                              max_iter, checkpoint_dir,
+                              assume_distinct=True, all_ids=all_ids)
     else:
         # verified (id_a, id_b) edges -> 2-member hyperedges keyed by
         # the edge pair itself.  The key must be collision-free: a
@@ -534,13 +718,8 @@ def _dedup_decisions(ids_and_buckets: DataFrame, id_col: str,
                     verified_edges.select(F.col("id_b").alias(id_col),
                                           ek)))
         comp = lsh_components(both, id_col, "__bucket", max_iter,
-                              checkpoint_dir)
-        # docs with no verified edge stay their own representative
-        all_ids = ids_and_buckets.select(id_col).distinct()
-        comp = (all_ids.join(comp, id_col, "left")
-                .select(id_col,
-                        F.coalesce("rep_id", F.col(id_col))
-                        .alias("rep_id")))
+                              checkpoint_dir, assume_distinct=True,
+                              all_ids=all_ids)
     return comp.withColumn("is_keeper", F.col("rep_id") == F.col(id_col))
 
 
@@ -567,9 +746,10 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
     ).withColumn("__sig", minhash_signature("__sh", num_perm))
     banded = minhash_buckets(df, text_col, id_col, k_shingle, num_perm,
                              bands, _sigs=sigs)
+    ids = df.select(F.col(id_col)).distinct()
     if threshold is None:
         return _dedup_decisions(banded, id_col, None, max_iter,
-                                checkpoint_dir)
+                                checkpoint_dir, all_ids=ids)
     # the bucket table feeds both the verification edges and the
     # component propagation — checkpoint it once so the (expensive)
     # minhash signatures aren't computed twice
@@ -583,7 +763,7 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
                 .where(ngram_jaccard("__sa", "__sb") >= threshold)
                 .select("id_a", "id_b"))
     return _dedup_decisions(banded, id_col, verified, max_iter,
-                            checkpoint_dir)
+                            checkpoint_dir, all_ids=ids)
 
 
 def minhash_buckets(df: DataFrame, text_col: str = "text",
@@ -674,9 +854,10 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
         ])).alias("__chunk", "__ckey"))
         .select(id_col,
                 F.xxhash64("__chunk", "__ckey").alias("__bucket")))
+    ids = df.select(F.col(id_col)).distinct()
     if not verify:
         return _dedup_decisions(chunks, id_col, None, max_iter,
-                                checkpoint_dir)
+                                checkpoint_dir, all_ids=ids)
     verified = (bucket_candidate_edges(chunks, id_col)
                 .join(sh.select(F.col(id_col).alias("id_a"),
                                 F.col("__simhash").alias("__ha")), "id_a")
@@ -687,7 +868,7 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
                     <= max_hamming)
                 .select("id_a", "id_b"))
     return _dedup_decisions(chunks, id_col, verified, max_iter,
-                            checkpoint_dir)
+                            checkpoint_dir, all_ids=ids)
 
 
 def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
@@ -712,9 +893,10 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                                                         "__bucket0"))
          .select(id_col,
                  F.xxhash64("__band", "__bucket0").alias("__bucket")))
+    ids = df.select(F.col(id_col)).distinct()
     if threshold is None:
         return _dedup_decisions(b, id_col, None, max_iter,
-                                checkpoint_dir)
+                                checkpoint_dir, all_ids=ids)
     # bucket table feeds both verification and propagation: checkpoint
     # so the projection matmul UDF runs once
     b = b.localCheckpoint(eager=False)
@@ -732,4 +914,4 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding",
                 .where(dot / (na * nb) >= threshold)
                 .select("id_a", "id_b"))
     return _dedup_decisions(b, id_col, verified, max_iter,
-                            checkpoint_dir)
+                            checkpoint_dir, all_ids=ids)

@@ -217,7 +217,9 @@ def shingle_fingerprints(text: Column | str, k: int = 5) -> Column:
                 h = h * mult + flat[starts + j]
             h = _splitmix64(h).astype(np.int64)
             for t, r in enumerate(sel):
-                out[nz[r]] = h[woffs_sel[t]:woffs_sel[t + 1]].tolist()
+                # ndarray views, not .tolist(): Arrow converts numpy
+                # slices without per-element boxing
+                out[nz[r]] = h[woffs_sel[t]:woffs_sel[t + 1]]
         # short rows (0 < n < k): one whole-sequence fingerprint each
         for r in np.flatnonzero((lens[nz] > 0) & (n_win == 0)):
             out[nz[r]] = [_poly(flat[offs[r]:offs[r + 1]])]

@@ -86,6 +86,10 @@ def recommended_confs(cores: int = 32) -> dict[str, str]:
         # 262144 measured ~15% faster than 131072 on the flagship fused
         # job at 16 cores with no 4-core regression
         "spark.sql.execution.arrow.maxRecordsPerBatch": "262144",
+        # Arrow-backed toPandas/createDataFrame(pandas): the row-based
+        # fallback costs seconds per million rows of driver serial time
+        # (it dominated the dedup driver-gap profile)
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.python.worker.reuse": "true",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.shuffle.partitions": str(max(2 * cores, 16)),

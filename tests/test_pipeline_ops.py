@@ -300,9 +300,19 @@ def test_lsh_components_random_vs_union_find(spark):
         edges = spark.createDataFrame(pairs, "doc_id long, __bucket long")
         with warnings.catch_warnings():
             warnings.simplefilter("error", RuntimeWarning)
-            got = {r.doc_id: r.rep_id
-                   for r in lsh_components(edges, "doc_id").collect()}
-        assert got == expect, (trial, n_ids, n_buckets)
+            # BOTH physical strategies must equal the oracle bit-exact:
+            # the driver-side NumPy propagation (default for small
+            # pruned subgraphs) and the distributed Spark loop
+            # (forced via driver_max_edges=0)
+            got_driver = {r.doc_id: r.rep_id
+                          for r in lsh_components(edges, "doc_id")
+                          .collect()}
+            got_dist = {r.doc_id: r.rep_id
+                        for r in lsh_components(edges, "doc_id",
+                                                driver_max_edges=0)
+                        .collect()}
+        assert got_driver == expect, (trial, n_ids, n_buckets)
+        assert got_dist == expect, (trial, n_ids, n_buckets)
 
 
 def test_lsh_components_warns_on_iteration_exhaustion(spark):
@@ -746,3 +756,23 @@ def test_ivf_lifecycle_build_save_load_query(spark, tmp_path):
     arrow = {r.vec_id: r["__list"]
              for r in ivf_assign(sdf, cent2, _impl="arrow").collect()}
     assert expr == arrow
+
+
+def test_perm_matrix_workspace_bit_exact():
+    """The workspace minhash kernel must be bit-identical to the
+    reference composition _mod61(_mulmod61(a, h) + b) for random
+    inputs across the full uint64 range."""
+    from t_digest_spark.operators.dedup import (
+        _M31, _mod61, _mulmod61, _perm_matrix_ws, _perm_params)
+    rng = np.random.default_rng(9)
+    a, b = _perm_params(16, seed=3)
+    aa = a.astype(np.uint64)[:, None]
+    bb = b.astype(np.uint64)[:, None]
+    flat = rng.integers(0, 2**64, size=(1, 500), dtype=np.uint64)
+    h = _mod61(flat)
+    want = _mod61(_mulmod61(aa, h) + bb)
+    ws = (np.empty((16, 500), dtype=np.uint64),
+          np.empty((16, 500), dtype=np.uint64),
+          np.empty((16, 500), dtype=bool))
+    got = _perm_matrix_ws(aa >> np.uint64(31), aa & _M31, bb, h, ws)
+    np.testing.assert_array_equal(got, want)

@@ -43,6 +43,7 @@ DEDUP_JOB_FILES = (
     "t_digest_spark/operators/dedup.py",
     "t_digest_spark/operators/text.py",
     "t_digest_spark/session.py",
+    "tools/bench_dedup.py",  # harness config shapes the measured job too
 )
 
 
@@ -97,6 +98,10 @@ def run_one(cpus: int, n_docs: int, cluster_size: int,
         f"local[{cpus}]", cpus, app_name=f"dedup-scaling-{cpus}",
         **{"spark.driver.memory": "24g", "spark.ui.enabled": "false",
            "spark.sql.shuffle.partitions": "64",
+           # one file per scan task (64 files): without this the
+           # signature stage coalesces to ~cpus tasks — a single wave
+           # with zero tail-hiding, so one slow task stalls the stage
+           "spark.sql.files.openCostInBytes": str(128 << 20),
            "spark.local.dir": "/dev/shm/spark-local"})
     spark.sparkContext.setLogLevel("ERROR")
     df, expected = corpus(spark, n_docs, cluster_size, dup_frac)

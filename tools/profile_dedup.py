@@ -41,6 +41,7 @@ def run_profiled(cpus: int, n_docs: int, cluster_size: int,
         f"local[{cpus}]", cpus, app_name=f"profile-dedup-{cpus}",
         **{"spark.driver.memory": "24g", "spark.ui.enabled": "false",
            "spark.sql.shuffle.partitions": "64",
+           "spark.sql.files.openCostInBytes": str(128 << 20),
            "spark.local.dir": "/dev/shm/spark-local",
            "spark.eventLog.enabled": "true",
            "spark.eventLog.compress": "false",
