@@ -35,6 +35,7 @@ from .text import fingerprint, shingle_fingerprints
 
 __all__ = [
     "exact_dedup", "exact_dup_groups", "minhash_signature",
+    "minhash_from_word_hashes",
     "minhash_lsh_pairs", "simhash", "simhash_pairs", "ngram_jaccard",
     "embedding_cosine_pairs", "lsh_components", "minhash_dedup",
     "simhash_dedup", "embedding_dedup", "minhash_buckets",
@@ -146,6 +147,86 @@ def _perm_matrix_ws(a1, a0, bb, h, ws):
     np.subtract(t1, np.uint64(_MERSENNE), out=t2)
     np.copyto(t1, t2, where=ge)
     return t1
+
+
+def minhash_from_word_hashes(wh_col, k_shingle: int = 5,
+                             num_perm: int = 64, seed: int = 7):
+    """MinHash signature (array<long>) FUSED from word hashes: shingle
+    fingerprints are computed with the shared kernel
+    (text.shingle_flat) and fed straight into the permutation matrix
+    inside ONE pandas UDF — the fingerprint arrays never materialize
+    as a column, never cross Arrow, and never build per-row lists.
+    Bit-identical to ``minhash_signature(shingle_fingerprints(...))``
+    (asserted in tests); use the unfused pair when the fingerprints
+    themselves are needed (exact-Jaccard verification)."""
+    from .text import EMPTY_FP, shingle_flat
+
+    a, b = _perm_params(num_perm, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def f(whs: pd.Series) -> pd.Series:
+        aa = a.astype(np.uint64)[:, None]
+        bb = b.astype(np.uint64)[:, None]
+        a1, a0 = aa >> np.uint64(31), aa & _M31
+        n = len(whs)
+        out: list = [None] * n
+        vals = whs.to_numpy()
+        lens = np.fromiter((-1 if v is None else len(v) for v in vals),
+                           dtype=np.int64, count=n)
+        empties = np.flatnonzero(lens == 0)
+        if len(empties):
+            # empty docs have the one-element fingerprint set
+            # {EMPTY_FP}: their signature is a constant vector
+            ef = np.array([[np.uint64(np.int64(EMPTY_FP))]])
+            ws1 = (np.empty((num_perm, 1), np.uint64),
+                   np.empty((num_perm, 1), np.uint64),
+                   np.empty((num_perm, 1), bool))
+            esig = _perm_matrix_ws(a1, a0, bb, _mod61(ef), ws1)[:, 0] \
+                .astype(np.int64)
+            for i in empties:
+                out[i] = esig
+        idx = np.flatnonzero(lens > 0)
+        fpl = np.maximum(lens - k_shingle + 1, 1)
+        target = 1024
+        big = np.uint64(1) << np.uint64(62)
+        ws_full = (np.empty((num_perm, target), dtype=np.uint64),
+                   np.empty((num_perm, target), dtype=np.uint64),
+                   np.empty((num_perm, target), dtype=bool))
+        flat_buf = np.zeros((1, target), dtype=np.uint64)
+        start = 0
+        while start < len(idx):
+            end, tot = start, 0
+            while end < len(idx) and (tot == 0
+                                      or tot + fpl[idx[end]] <= target):
+                tot += fpl[idx[end]]
+                end += 1
+            rows = idx[start:end]
+            flat_wh = np.concatenate(
+                [np.asarray(vals[i], dtype=np.int64) for i in rows]
+            ).astype(np.uint64)
+            fp_flat, _l, fp_offs = shingle_flat(flat_wh, lens[rows],
+                                                k_shingle)
+            w = len(fp_flat)
+            fp_u = fp_flat.astype(np.uint64)[None, :]
+            if w <= target:
+                flat_buf[0, :w] = fp_u
+                sig = _perm_matrix_ws(a1, a0, bb, _mod61(flat_buf),
+                                      ws_full)
+                if w < target:
+                    sig[:, w:] = big
+            else:
+                ws1 = (np.empty((num_perm, w), dtype=np.uint64),
+                       np.empty((num_perm, w), dtype=np.uint64),
+                       np.empty((num_perm, w), dtype=bool))
+                sig = _perm_matrix_ws(a1, a0, bb, _mod61(fp_u), ws1)
+            mins = np.minimum.reduceat(sig, fp_offs[:-1], axis=1) \
+                .astype(np.int64)
+            for j, i in enumerate(rows):
+                out[i] = mins[:, j]
+            start = end
+        return pd.Series(out)
+
+    return f(wh_col)
 
 
 def minhash_signature(shingles_col, num_perm: int = 64,
@@ -740,16 +821,21 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
     components run over the surviving edges; this conservatively splits
     clusters whose members connect only through a failing hub, and
     never merges documents with no verified path."""
+    ids = df.select(F.col(id_col)).distinct()
+    if threshold is None:
+        # no verification ⇒ fingerprints are never needed: the fused
+        # minhash UDF keeps them inside one Python stage (no Arrow
+        # round-trip of the 36-hashes-per-doc fingerprint arrays)
+        banded = minhash_buckets(df, text_col, id_col, k_shingle,
+                                 num_perm, bands)
+        return _dedup_decisions(banded, id_col, None, max_iter,
+                                checkpoint_dir, all_ids=ids)
     sigs = df.select(
         F.col(id_col),
         shingle_fingerprints(text_col, k_shingle).alias("__sh"),
     ).withColumn("__sig", minhash_signature("__sh", num_perm))
     banded = minhash_buckets(df, text_col, id_col, k_shingle, num_perm,
                              bands, _sigs=sigs)
-    ids = df.select(F.col(id_col)).distinct()
-    if threshold is None:
-        return _dedup_decisions(banded, id_col, None, max_iter,
-                                checkpoint_dir, all_ids=ids)
     # the bucket table feeds both the verification edges and the
     # component propagation — checkpoint it once so the (expensive)
     # minhash signatures aren't computed twice
@@ -776,10 +862,12 @@ def minhash_buckets(df: DataFrame, text_col: str = "text",
     duplicate cluster)."""
     rows_per_band = num_perm // bands
     if _sigs is None:
+        from .text import word_hashes
+
         _sigs = df.select(
             F.col(id_col),
-            shingle_fingerprints(text_col, k_shingle).alias("__sh"),
-        ).withColumn("__sig", minhash_signature("__sh", num_perm))
+            minhash_from_word_hashes(word_hashes(text_col), k_shingle,
+                                     num_perm).alias("__sig"))
     return (_sigs.select(id_col,
                          _band_keys("__sig", bands, rows_per_band))
             .select(id_col,

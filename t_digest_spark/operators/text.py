@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "token_count", "char_stats", "quality_score", "lang_id",
-    "fingerprint", "shingle_fingerprints", "text_stats",
+    "fingerprint", "shingle_fingerprints", "word_hashes", "text_stats",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic —
@@ -146,6 +146,61 @@ def _splitmix64(x):
     return x
 
 
+def word_hashes(text: Column | str) -> Column:
+    """array<long>: xxhash64 of each lowercased whitespace token — the
+    shared JVM front half of shingle fingerprinting.  Single-level
+    lambda on purpose: a transform's INPUT array is evaluated once,
+    and the lambda touches only its own variable, so nothing
+    re-evaluates per element."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.transform(_words(F.lower(text)), lambda w: F.xxhash64(w))
+
+
+def _poly_fp(v: np.ndarray, mult: np.uint64) -> int:
+    acc = np.uint64(0)
+    for x in v:
+        acc = acc * mult + x
+    return int(np.int64(_splitmix64(np.array([acc]))[0]))
+
+
+EMPTY_FP = int(np.int64(_splitmix64(np.zeros(1, np.uint64))[0]))
+
+
+def shingle_flat(flat: np.ndarray, lens_nz: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row k-shingle fingerprints from CONCATENATED word hashes of
+    rows with len > 0 (uint64 flat array + per-row lengths).
+
+    Returns ``(fp_flat, fp_lens, fp_offs)`` — row r's fingerprints are
+    ``fp_flat[fp_offs[r]:fp_offs[r+1]]`` (int64).  Rows shorter than k
+    words get ONE whole-sequence fingerprint.  This is the shared
+    vectorized kernel behind both shingle_fingerprints and the fused
+    minhash signature (operators/dedup.py) — their outputs must stay
+    bit-identical."""
+    mult = np.uint64(_SHINGLE_MULT)
+    offs = np.concatenate(([0], np.cumsum(lens_nz)))
+    n_win = np.maximum(lens_nz - k + 1, 0)
+    fp_lens = np.maximum(n_win, 1)
+    fp_offs = np.concatenate(([0], np.cumsum(fp_lens)))
+    fp_flat = np.empty(int(fp_lens.sum()), dtype=np.int64)
+    sel = np.flatnonzero(n_win > 0)
+    if len(sel):
+        reps = n_win[sel]
+        base = np.repeat(offs[sel], reps)
+        woffs = np.concatenate(([0], np.cumsum(reps)))
+        ramp = np.arange(int(reps.sum()), dtype=np.int64) - \
+            np.repeat(woffs[:-1], reps)
+        starts = base + ramp
+        h = np.zeros(len(starts), dtype=np.uint64)
+        for j in range(k):
+            h = h * mult + flat[starts + j]
+        h = _splitmix64(h).astype(np.int64)
+        fp_flat[np.repeat(fp_offs[sel], reps) + ramp] = h
+    for r in np.flatnonzero(n_win == 0):
+        fp_flat[fp_offs[r]] = _poly_fp(flat[offs[r]:offs[r + 1]], mult)
+    return fp_flat, fp_lens, fp_offs
+
+
 def shingle_fingerprints(text: Column | str, k: int = 5) -> Column:
     """Array of 64-bit fingerprints of the k-word shingles of the
     document — the fingerprint set feeding MinHash/Jaccard dedup.
@@ -172,18 +227,6 @@ def shingle_fingerprints(text: Column | str, k: int = 5) -> Column:
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    text = F.col(text) if isinstance(text, str) else text
-    word_hashes = F.transform(_words(F.lower(text)),
-                              lambda w: F.xxhash64(w))
-    mult = np.uint64(_SHINGLE_MULT)
-    empty_fp = int(np.int64(_splitmix64(np.zeros(1, np.uint64))[0]))
-
-    def _poly(v: np.ndarray) -> int:
-        acc = np.uint64(0)
-        for x in v:
-            acc = acc * mult + x
-        return int(np.int64(_splitmix64(np.array([acc]))[0]))
-
     @pandas_udf(ArrayType(LongType()))
     def shingles(whs: pd.Series) -> pd.Series:
         n = len(whs)
@@ -193,39 +236,21 @@ def shingle_fingerprints(text: Column | str, k: int = 5) -> Column:
             (-1 if v is None else len(v) for v in vals),
             dtype=np.int64, count=n)
         for i in np.flatnonzero(lens == 0):
-            out[i] = [empty_fp]
+            out[i] = [EMPTY_FP]
         nz = np.flatnonzero(lens > 0)
         if len(nz) == 0:
             return pd.Series(out)
         flat = np.concatenate(
             [np.asarray(vals[i], dtype=np.int64) for i in nz]
         ).astype(np.uint64)
-        offs = np.concatenate(([0], np.cumsum(lens[nz])))
-        n_win = np.maximum(lens[nz] - k + 1, 0)
-        # vectorized per-row window starts: repeat each row's offset
-        # n_win times, add the within-row 0..n_win-1 ramp
-        sel = np.flatnonzero(n_win > 0)
-        reps = n_win[sel]
-        if len(sel):
-            base = np.repeat(offs[sel], reps)
-            woffs_sel = np.concatenate(([0], np.cumsum(reps)))
-            ramp = np.arange(int(reps.sum()), dtype=np.int64) - \
-                np.repeat(woffs_sel[:-1], reps)
-            starts = base + ramp
-            h = np.zeros(len(starts), dtype=np.uint64)
-            for j in range(k):
-                h = h * mult + flat[starts + j]
-            h = _splitmix64(h).astype(np.int64)
-            for t, r in enumerate(sel):
-                # ndarray views, not .tolist(): Arrow converts numpy
-                # slices without per-element boxing
-                out[nz[r]] = h[woffs_sel[t]:woffs_sel[t + 1]]
-        # short rows (0 < n < k): one whole-sequence fingerprint each
-        for r in np.flatnonzero((lens[nz] > 0) & (n_win == 0)):
-            out[nz[r]] = [_poly(flat[offs[r]:offs[r + 1]])]
+        fp_flat, _fp_lens, fp_offs = shingle_flat(flat, lens[nz], k)
+        for t, i in enumerate(nz):
+            # ndarray views, not .tolist(): Arrow converts numpy
+            # slices without per-element boxing
+            out[i] = fp_flat[fp_offs[t]:fp_offs[t + 1]]
         return pd.Series(out)
 
-    return shingles(word_hashes)
+    return shingles(word_hashes(text))
 
 
 def text_stats(df: DataFrame, text_col: str = "text",

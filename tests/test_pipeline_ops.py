@@ -776,3 +776,30 @@ def test_perm_matrix_workspace_bit_exact():
           np.empty((16, 500), dtype=bool))
     got = _perm_matrix_ws(aa >> np.uint64(31), aa & _M31, bb, h, ws)
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_minhash_equals_composition(spark):
+    """minhash_from_word_hashes (the fused one-UDF path used when no
+    exact-Jaccard verification is needed) must be bit-identical to
+    shingle_fingerprints -> minhash_signature, including short docs
+    (< k words), empty text, and nulls."""
+    from t_digest_spark.operators.dedup import (
+        minhash_from_word_hashes, minhash_signature)
+    from t_digest_spark.operators.text import word_hashes
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog yesterday",
+        "short doc", "", None, "one two three four five six seven",
+        "a " * 200,  # long repetitive doc
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+    fused = {r.id: r.s for r in sdf.select(
+        "id", minhash_from_word_hashes(word_hashes("text"), 5, 32)
+        .alias("s")).collect()}
+    composed = {r.id: r.s for r in sdf.select(
+        "id", minhash_signature(
+            shingle_fingerprints("text", 5), 32).alias("s")).collect()}
+    assert fused == composed
+    assert fused[4] is None            # null text stays null
+    assert fused[0] != fused[1]        # near-dup, not identical sigs
