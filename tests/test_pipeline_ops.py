@@ -328,15 +328,20 @@ def test_lsh_components_warns_on_iteration_exhaustion(spark):
         [(i, 100 + i) for i in range(1, 6)]
         + [(i + 1, 100 + i) for i in range(1, 6)],
         "doc_id long, __bucket long")
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        got = {r.doc_id: r.rep_id
-               for r in lsh_components(edges, "doc_id",
-                                       max_iter=1).collect()}
-    assert any("not converged" in str(w.message) for w in caught)
-    # labels monotone toward the min even when cut short
-    assert got[1] == 1 and got[2] == 1
-    assert all(got[i] <= i for i in got)
+    # BOTH strategies must warn: driver NumPy path (default) and the
+    # distributed Spark loop (driver_max_edges=0)
+    for dme in (None, 0):
+        kw = {} if dme is None else {"driver_max_edges": dme}
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            got = {r.doc_id: r.rep_id
+                   for r in lsh_components(edges, "doc_id",
+                                           max_iter=1, **kw).collect()}
+        assert any("not converged" in str(w.message)
+                   for w in caught), dme
+        # labels monotone toward the min even when cut short
+        assert got[1] == 1 and got[2] == 1
+        assert all(got[i] <= i for i in got), dme
 
 
 def test_bucket_candidate_edges_hub_robust(spark):

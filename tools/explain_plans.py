@@ -158,6 +158,43 @@ def main() -> None:
     checks.append(("frame sampling has no Python eval node",
                    "EvalPython" not in p5 and "MapInPandas" not in p5))
 
+    # 6. fused minhash bucket table: word hashes JVM-side, ONE Arrow
+    # eval node for the fused shingle+minhash UDF, no row-based python
+    from t_digest_spark.operators.dedup import (
+        minhash_buckets, minhash_dedup,
+    )
+    q6 = minhash_buckets(docs, "text", "doc_id", 5, 64, 16)
+    p6 = plan_of(q6)
+    sections.append(("Fused MinHash band-bucket table", p6))
+    checks.append(("fused minhash: exactly one Arrow eval node "
+                   "(shingles never cross Arrow as a column)",
+                   len(re.findall(r"^\(\d+\) ArrowEvalPython", p6,
+                                  re.M)) == 1
+                   and "BatchEvalPython" not in p6))
+
+    # 7. dedup decisions (driver components path): the (id, rep) map
+    # broadcasts back onto the id universe — no shuffle of the corpus
+    q7 = minhash_dedup(docs, "text", "doc_id")
+    p7 = plan_of(q7)
+    sections.append(("MinHash keep/drop decisions "
+                     "(driver components path)", p7))
+    checks.append(("dedup decisions join the component map by "
+                   "BroadcastHashJoin",
+                   "BroadcastHashJoin" in p7))
+
+    # 8. IVF assignment (expression path): argmax over literal
+    # centroids stays JVM-side — no Python in the scan
+    import numpy as np
+
+    from t_digest_spark.operators.similarity import ivf_assign
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = np.eye(8, 64)
+    q8 = ivf_assign(emb, cents)
+    p8 = plan_of(q8)
+    sections.append(("IVF list assignment (JVM expression path)", p8))
+    checks.append(("ivf_assign (<=32 lists) has no Python eval node",
+                   "EvalPython" not in p8))
+
     out = ["# Physical plans — scale-critical properties\n",
            "Generated by tools/explain_plans.py; the driver-visible "
            "evidence that pruning/pushdown/shuffle claims in "
