@@ -869,6 +869,55 @@ def _q_streaming_digest_smalln(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_stateful_smalln(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Structured Streaming-NATIVE stateful digest
+    (streaming/digest_stream.py stateful_digest_stream,
+    applyInPandasWithState): readStream over the nation parquet, the
+    per-key state IS the serialized digest, updated rows land in a
+    memory sink; the final per-key row is the answer.  n<=delta ⇒
+    singleton centroids ⇒ the state digest's p50 is the exact order
+    statistic (TDigestTest.java:377-403), so this has an exact SQL
+    oracle like the foreachBatch fold (streaming_digest_smalln) —
+    covering the state-store variant end-to-end, not just in pytest."""
+    import os
+    import tempfile
+
+    from t_digest_spark.streaming.digest_stream import (
+        stateful_digest_stream,
+    )
+    src = os.path.join(sf_dir, "nation.parquet")
+    schema = spark.read.parquet(src).schema
+    base = tempfile.mkdtemp(prefix="tdigest_stateful_q_")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    os.symlink(os.path.abspath(src),
+               os.path.join(src_dir, "nation.parquet"))
+    stream = (spark.readStream.schema(schema).parquet(src_dir)
+              .withColumn("nk", F.col("n_nationkey").cast("double")))
+    out = stateful_digest_stream(stream, "nk", ["n_regionkey"])
+    sink = f"stateful_smalln_{os.path.basename(base).rsplit('_', 1)[-1]}"
+    q = (out.writeStream.format("memory").queryName(sink)
+         .outputMode("update")
+         .option("checkpointLocation", os.path.join(base, "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # "update" mode emits one row per key per micro-batch that touched
+    # it; the final state row for a key is the one with the max rows
+    # (the digest only grows) — dedupe batch-side.
+    from pyspark.sql import Window
+    w = Window.partitionBy("n_regionkey").orderBy(F.desc("rows"))
+    return (spark.table(sink)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("n_regionkey",
+                    F.col("p50").alias("median_nationkey"),
+                    F.col("rows").cast("long").alias("n_rows")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_stats": _q_rollup_stats,
     "cube_stats": _q_cube_stats,
@@ -903,6 +952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_feature_probe": _q_media_feature_probe,
     "media_resize_probe": _q_media_resize_probe,
     "streaming_digest_smalln": _q_streaming_digest_smalln,
+    "streaming_stateful_smalln": _q_streaming_stateful_smalln,
 }
 
 
@@ -1297,6 +1347,15 @@ ORACLES: dict[str, str] = {
     # the streamed fold ends at the same digest a batch aggregate
     # builds (merge associativity); n<=delta makes the median exact
     "streaming_digest_smalln": """
+        WITH ranked AS (
+            SELECT n_regionkey, CAST(n_nationkey AS DOUBLE) AS nk,
+                   ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY n_regionkey) AS cnt
+            FROM nation)
+        SELECT n_regionkey, nk AS median_nationkey,
+               CAST(cnt AS BIGINT) AS n_rows
+        FROM ranked WHERE rn = CAST(FLOOR(0.5 * cnt) AS BIGINT) + 1
+    """,    "streaming_stateful_smalln": """
         WITH ranked AS (
             SELECT n_regionkey, CAST(n_nationkey AS DOUBLE) AS nk,
                    ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn,

@@ -82,6 +82,26 @@ def _canon_key(key: tuple) -> tuple:
     return tuple(_canon_key_val(v) for v in key)
 
 
+def _norm_orig_val(v):
+    """Normalize a RAW group-key value for output: fold -0.0 into 0.0
+    (recursively through lists/dicts) so the emitted key matches
+    Spark's normalized groupBy output deterministically — a group
+    containing both -0.0 and 0.0 must not surface whichever raw form a
+    partition saw first.  NaN passes through unchanged (the canonical
+    key already unifies NaNs; NaN itself is the correct output)."""
+    if isinstance(v, float):
+        return 0.0 if v == 0.0 else v
+    if isinstance(v, list):
+        return [_norm_orig_val(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _norm_orig_val(x) for k, x in v.items()}
+    return v
+
+
+def _norm_orig(key: tuple) -> tuple:
+    return tuple(_norm_orig_val(v) for v in key)
+
+
 def _shuffle_partitions(df: DataFrame) -> int:
     """spark.sql.shuffle.partitions as an int, tolerating non-numeric
     values some platforms set (e.g. "auto"); falls back to the
@@ -304,7 +324,7 @@ class DigestAccumulator:
                 if codes_list[i][row0] >= 0 else None
                 for i in range(n_keys))
             key = _canon_key(raw)
-            self._orig.setdefault(key, raw)
+            self._orig.setdefault(key, _norm_orig(raw))
             # .copy() so the parked chunk doesn't pin this batch's full
             # sorted array until flush time
             self._push(key, sorted_values[s:e].copy(),
@@ -369,7 +389,7 @@ def _partition_merge_gen(compression: float, scale: str,
                 if lst is None:
                     lst = blobs[key] = []
                     rows[key] = 0
-                    origs[key] = raw
+                    origs[key] = _norm_orig(raw)
                 lst.append(bcol[j])
                 rows[key] += rcol[j]
         if not blobs:

@@ -564,14 +564,58 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
 # in b bands costs O(k*b) rows total — never k^2.
 
 
-def _driver_components(id_series, b_series, max_iter: int):
-    """Vectorized hash-to-min over a driver-resident edge table:
-    factorize ids/buckets to dense codes, then per round one
-    ``minimum.at`` scatter per direction — O(E) NumPy per round,
-    rounds = component diameter.  Returns (unique_id_values,
-    rep_value_per_unique_id)."""
+def _factorize_exact(col) -> tuple[np.ndarray, int]:
+    """Exact dense factorization of an Arrow column (ChunkedArray or
+    Array), including struct columns: struct keys factorize their child
+    fields JOINTLY (per-child codes combined positionally, re-densified
+    per level so codes stay < E and never overflow) — field-wise exact
+    equality by construction, no string rendering, so float reprs that
+    collide across dtype widths or nested nulls cannot alias.  Child
+    codes are shifted +1 before combining so pandas' null code (-1)
+    cannot alias a real (code, max-code) pair; null == null compares
+    equal, matching Spark struct grouping semantics.
+
+    Returns (codes int64 >= 0 for structs / >= -1 for scalar nulls,
+    n_unique)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_struct(col.type):
+        combined = None
+        for i in range(col.type.num_fields):
+            c, n = _factorize_exact(col.field(i))
+            c = c + 1  # shift: null (-1) becomes 0, distinct from all
+            if combined is None:
+                combined = c.astype(np.int64)
+            else:
+                combined = combined * np.int64(n + 2) + c
+                combined, uniq = pd.factorize(combined, sort=False)
+                combined = combined.astype(np.int64)
+        codes, uniq = pd.factorize(combined, sort=False)
+        return codes.astype(np.int64), len(uniq)
+    codes, vals = pd.factorize(col.to_pandas(), sort=False)
+    return codes.astype(np.int64), len(vals)
+
+
+def _driver_components(id_series, b_codes: np.ndarray, max_iter: int):
+    """Vectorized hash-to-min over a driver-resident edge table: ids
+    factorize to dense codes (buckets arrive pre-factorized — see
+    ``_factorize_exact``), then per round one ``minimum.at`` scatter
+    per direction — O(E) NumPy per round, rounds = component diameter.
+    Returns (unique_id_values, rep_value_per_unique_id)."""
+    if not id_series.notna().all():
+        # pd.factorize maps nulls to code -1, which would silently
+        # index lab[-1] below and corrupt labels — fail loudly instead
+        # (the distributed path tolerates nulls differently; callers
+        # must drop/clean null ids first).
+        raise ValueError(
+            "lsh_components driver path: null ids in edge table")
+    if len(b_codes) and int(b_codes.min()) < 0:
+        raise ValueError(
+            "lsh_components driver path: null bucket keys in edge table")
     id_codes, id_vals = pd.factorize(id_series, sort=False)
-    b_codes, b_vals = pd.factorize(b_series, sort=False)
+    n_b = int(b_codes.max()) + 1 if len(b_codes) else 0
     # labels are RANKS in the ids' natural sort order, so "min label"
     # is "min id" for any orderable id type (ints, strings, ...)
     order = np.argsort(id_vals)
@@ -579,7 +623,7 @@ def _driver_components(id_series, b_series, max_iter: int):
     rank[order] = np.arange(len(id_vals))
     lab = rank.copy()
     for _ in range(max_iter):
-        b_lab = np.full(len(b_vals), np.iinfo(np.int64).max)
+        b_lab = np.full(n_b, np.iinfo(np.int64).max)
         np.minimum.at(b_lab, b_codes, lab[id_codes])
         new = lab.copy()
         np.minimum.at(new, id_codes, b_lab[b_codes])
@@ -698,17 +742,15 @@ def lsh_components(edges: DataFrame, id_col: str = "doc_id",
         if n_edges <= driver_max_edges:
             # toArrow is the guaranteed-Arrow collect path (no conf
             # dependence): C-speed transfer + to_pandas, vs seconds of
-            # Row-object conversion for a million-edge subgraph
-            pdf = e.toArrow().to_pandas()
-            b_series = pdf["__b"]
-            if b_series.dtype == object and len(b_series) and \
-                    not isinstance(b_series.iloc[0], (str, bytes)):
-                # struct/array bucket keys (verified-edge hyperedges):
-                # factorize over their string form — schema order is
-                # fixed, so the repr is a faithful equality key
-                b_series = b_series.astype(str)
-            id_vals, reps = _driver_components(pdf["__id"], b_series,
-                                               max_iter)
+            # Row-object conversion for a million-edge subgraph.
+            # Buckets factorize at the Arrow level (_factorize_exact):
+            # struct keys (verified-edge hyperedges) dictionary-encode
+            # field-wise exactly — no string rendering, so float reprs
+            # or nested nulls cannot alias.
+            tbl = e.toArrow()
+            b_codes, _ = _factorize_exact(tbl.column("__b"))
+            id_vals, reps = _driver_components(
+                tbl.column("__id").to_pandas(), b_codes, max_iter)
             spark = edges.sparkSession
             lab_df = spark.createDataFrame(
                 pd.DataFrame({"__id": np.asarray(id_vals),

@@ -115,25 +115,11 @@ def _kmeans_cosine(X: np.ndarray, n_lists: int, iters: int,
     return cent
 
 
-def ivf_fit(df: DataFrame, n_lists: int = 16, vec_col: str = "embedding",
-            sample: int = 2048, sample_per_partition: int = 256,
-            iters: int = 8, seed: int = 17) -> np.ndarray:
-    """Train IVF centroids with a DISTRIBUTED uniform sample: every row
-    gets a JVM-side ``rand(seed)`` key, each partition keeps its
-    bottom-``sample_per_partition`` keys (vectorized argpartition over
-    Arrow batches — a mergeable bottom-m sketch, i.e. a uniform sample
-    without replacement), and the driver keeps the global bottom-
-    ``sample`` before fitting spherical k-means.  Driver traffic is
-    bounded by partitions x sample_per_partition rows regardless of
-    table size — no ``limit().collect()`` over the raw table, and no
-    head-of-table bias (the old ``limit(sample)`` sampled whatever
-    partition listed first)."""
+def _bottom_m_map(m: int):
+    """Arrow kernel: keep the ``m`` smallest ``__k`` keys (with their
+    vectors) per partition — incremental prune per batch, so memory is
+    bounded by m + one batch regardless of partition size."""
     import pyarrow as pa
-
-    keyed = df.select(F.rand(seed).alias("__k"),
-                      F.col(vec_col).cast("array<double>").alias("__v")) \
-        .where(F.col("__v").isNotNull())
-    m = sample_per_partition
 
     def bottom_m(batches):
         keys = None
@@ -155,8 +141,52 @@ def ivf_fit(df: DataFrame, n_lists: int = 16, vec_col: str = "embedding",
                 [pa.array(keys, type=pa.float64()), vecs],
                 names=["__k", "__v"])
 
-    rows = (keyed.mapInArrow(bottom_m, "__k double, __v array<double>")
-            .collect())
+    return bottom_m
+
+
+def _ivf_sample_plan(df: DataFrame, vec_col: str, sample: int,
+                     sample_per_partition: int, seed: int,
+                     reduce_partitions: int = 2) -> DataFrame:
+    """The bounded-driver-traffic sampling plan behind ``ivf_fit``:
+
+    level 1: each input partition keeps its bottom-
+    ``sample_per_partition`` rand keys (mergeable bottom-m sketch);
+    level 2: survivors repartition to ``reduce_partitions`` tasks, each
+    keeping its bottom-``sample`` (a partition must keep a FULL
+    bottom-``sample`` — the global winners could all hash to one task).
+
+    The driver therefore collects at most ``reduce_partitions x
+    sample`` rows for ANY input partition count — at 100 TB with ~1e5
+    scan partitions, level 1 alone would ship partitions x m vectors
+    (~150 GB at 768-dim) to the driver; the second-level reduce caps it
+    at a constant (~2 x 2048 rows by default)."""
+    schema = "__k double, __v array<double>"
+    keyed = df.select(F.rand(seed).alias("__k"),
+                      F.col(vec_col).cast("array<double>").alias("__v")) \
+        .where(F.col("__v").isNotNull())
+    level1 = keyed.mapInArrow(_bottom_m_map(sample_per_partition), schema)
+    return (level1.repartition(reduce_partitions)
+            .mapInArrow(_bottom_m_map(sample), schema))
+
+
+def ivf_fit(df: DataFrame, n_lists: int = 16, vec_col: str = "embedding",
+            sample: int = 2048, sample_per_partition: int = 256,
+            iters: int = 8, seed: int = 17,
+            reduce_partitions: int = 2) -> np.ndarray:
+    """Train IVF centroids with a DISTRIBUTED uniform sample: every row
+    gets a JVM-side ``rand(seed)`` key, each partition keeps its
+    bottom-``sample_per_partition`` keys (vectorized argpartition over
+    Arrow batches — a mergeable bottom-m sketch, i.e. a uniform sample
+    without replacement), a second-level bottom-``sample`` reduce over
+    ``reduce_partitions`` tasks caps the survivor set, and the driver
+    keeps the global bottom-``sample`` before fitting spherical
+    k-means.  Driver traffic is bounded by ``reduce_partitions x
+    sample`` rows regardless of table size AND partition count — no
+    ``limit().collect()`` over the raw table, and no head-of-table bias
+    (the old ``limit(sample)`` sampled whatever partition listed
+    first)."""
+    rows = _ivf_sample_plan(df, vec_col, sample, sample_per_partition,
+                            seed, reduce_partitions).collect()
     rows.sort(key=lambda r: r["__k"])
     X = np.asarray([r["__v"] for r in rows[:sample]], dtype=np.float64)
     if len(X) == 0:
@@ -188,8 +218,17 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
                      F.lit(i).alias("list_id"))
             for i, c in enumerate(centroids)
         ])
-        return df.withColumn(list_col,
-                             F.array_max(dots).getField("list_id"))
+        # Null vectors: aggregate() over a null array yields null dots,
+        # and array_max over structs with null fields is implementation-
+        # defined — guard explicitly so this path agrees with the Arrow
+        # path's -1 sentinel (same pipeline must not change null-row
+        # assignment when the centroid count crosses 32).
+        vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+        return df.withColumn(
+            list_col,
+            F.when(vc.isNull(), F.lit(-1))
+            .otherwise(F.array_max(dots).getField("list_id"))
+            .cast("int"))
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import IntegerType
 

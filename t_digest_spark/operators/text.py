@@ -157,10 +157,15 @@ def word_hashes(text: Column | str) -> Column:
 
 
 def _poly_fp(v: np.ndarray, mult: np.uint64) -> int:
-    acc = np.uint64(0)
+    # 1-element ndarray accumulator: uint64 *array* ops wrap silently
+    # (intended), whereas numpy *scalar* ops emit RuntimeWarnings on
+    # overflow — looping with scalars spammed worker logs for every
+    # short (< k words) document.
+    acc = np.zeros(1, np.uint64)
     for x in v:
-        acc = acc * mult + x
-    return int(np.int64(_splitmix64(np.array([acc]))[0]))
+        acc *= mult
+        acc += x
+    return int(np.int64(_splitmix64(acc))[0])
 
 
 EMPTY_FP = int(np.int64(_splitmix64(np.zeros(1, np.uint64))[0]))
