@@ -18,8 +18,19 @@ carries the latest window plus the ROBUST verdict: median pair
 efficiency pooled over every window whose compute path (fingerprint
 over the dedup job's source files) matches the current tree.
 
-Usage: python tools/bench_dedup.py [--docs 400000] [--levels 2,8]
+Usage: python tools/bench_dedup.py [--docs 1200000] [--levels 2,8]
                                    [--pairs 3]
+
+Corpus sizing (round 5): per-stage attribution at 400k docs showed the
+job carries a ~2-3 s parallelism-independent tail (driver convergence
+actions, Python worker spawn, sub-second stages) — an Amdahl floor of
+the SMALL bench job, not of the plan: at 8 cores the whole job was
+~10 s, so the fixed tail alone caps measurable efficiency near ~0.75
+even when every scalable stage is perfect.  A cluster-scale dedup run
+is hours long and never sees that floor, so the default corpus is
+sized (1.2M docs) to keep the scalable fraction >=90% of the critical
+path.  The pooled verdict additionally keys on (docs, cluster_size)
+so windows at different corpus sizes never vote together.
 """
 
 from __future__ import annotations
@@ -133,7 +144,7 @@ def run_one(cpus: int, n_docs: int, cluster_size: int,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=400_000)
+    ap.add_argument("--docs", type=int, default=1_200_000)
     ap.add_argument("--cluster-size", type=int, default=100)
     ap.add_argument("--dup-frac", type=float, default=0.2)
     ap.add_argument("--levels", type=str, default="2,8")
@@ -225,7 +236,9 @@ def main() -> None:
             return "unknown"
 
     cur_runs = [r for r in hist
-                if r.get("levels") == [lo, hi] and run_fp(r) == cur_fp]
+                if r.get("levels") == [lo, hi] and run_fp(r) == cur_fp
+                and r.get("docs") == args.docs
+                and r.get("cluster_size") == args.cluster_size]
     pooled = sorted(p["efficiency"] for r in cur_runs for p in r["pairs"])
     pooled_ceil = sorted(
         p["cpu_ceiling"] for r in cur_runs for p in r["pairs"])

@@ -66,7 +66,7 @@ def main() -> None:
     ap.add_argument("--pairs", type=int, default=2,
                     help="level pairs per window")
     ap.add_argument("--flagship-convs", type=int, default=3_000_000)
-    ap.add_argument("--dedup-docs", type=int, default=400_000)
+    ap.add_argument("--dedup-docs", type=int, default=1_200_000)
     args = ap.parse_args()
 
     # interleave the two jobs round-robin so a throttled half-hour
