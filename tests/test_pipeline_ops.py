@@ -165,6 +165,52 @@ def test_lsh_components_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
 
 
+def test_lsh_components_star_contraction_invariants(spark):
+    """The bucket-min star contraction must be invisible in results:
+    (a) two buckets sharing the same min id (their star keys merge)
+    already share that member, so merging is correct; (b) duplicate
+    (id, bucket) input rows change nothing — including a
+    row-duplicated singleton bucket, whose surviving self-edge is
+    harmless; (c) assume_distinct is accepted and ignored.  All
+    checked on BOTH physical strategies."""
+    from t_digest_spark.operators.dedup import lsh_components
+
+    # buckets: 100={1,2}, 200={1,3} (shared min 1), 300={7,8},
+    # singleton 900={9} duplicated as a row
+    rows = [(1, 100), (2, 100), (1, 200), (3, 200),
+            (7, 300), (8, 300),
+            (9, 900), (9, 900),            # duplicated singleton
+            (2, 100), (2, 100)]            # duplicated member rows
+    edges = spark.createDataFrame(rows, "doc_id long, __bucket long")
+    expect = {1: 1, 2: 1, 3: 1, 7: 7, 8: 8, 9: 9}
+    # NOTE: bucket 300 = {7,8} -> component {7,8} rep 7
+    expect[8] = 7
+    for kw in ({}, {"assume_distinct": True},
+               {"driver_max_edges": 0},
+               {"driver_max_edges": 0, "assume_distinct": True}):
+        got = {r.doc_id: r.rep_id
+               for r in lsh_components(edges, "doc_id", **kw).collect()}
+        assert got == expect, kw
+
+
+def test_minhash_dedup_assume_unique_ids(spark):
+    """assume_unique_ids=True must be decision-identical to the
+    default on a primary-key id column."""
+    from t_digest_spark.operators.dedup import minhash_dedup
+
+    rows = [(i, f"unique document number {i} topic {i * 7}")
+            for i in range(12)]
+    rows += [(100 + j, "same boilerplate duplicate text everywhere "
+              "in this little planted cluster") for j in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {(r.doc_id, r.rep_id, r.is_keeper)
+            for r in minhash_dedup(df, "text", "doc_id").collect()}
+    fast = {(r.doc_id, r.rep_id, r.is_keeper)
+            for r in minhash_dedup(df, "text", "doc_id",
+                                   assume_unique_ids=True).collect()}
+    assert base == fast and len(base) == 18
+
+
 def test_minhash_dedup_cluster(spark):
     """A planted cluster of identical docs all map to the min id with
     exactly one keeper, in both bucket-edge and verified modes — and

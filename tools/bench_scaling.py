@@ -336,6 +336,51 @@ def main():
     print(json.dumps(summary_out))
 
 
+def _dedup_section() -> list:
+    """Render the dedup operator's pooled scaling verdict (written by
+    tools/bench_dedup.py to BENCH/dedup_scaling.json) into BASELINE.md
+    so the north-rule evidence for BOTH headline jobs lives in one
+    document.  Reads the verdict file rather than recomputing: one
+    source of truth per harness."""
+    path = os.path.join(REPO, "BENCH", "dedup_scaling.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        v = json.load(f)
+    mr = v.get("multi_run", {})
+    if not mr.get("pairs"):
+        return []
+    lo, hi = v["levels"]
+    med = mr["median_efficiency"]
+    verdict = "PASS" if med >= v.get("target", 0.8) else "FAIL"
+    latest_hi = v["pairs"][-1]["hi"]
+    lines = ["\n## Dedup operator scaling (minhash_dedup keep/drop)\n"]
+    lines.append(
+        f"Job: {v['job']} over a deterministic synthetic corpus of "
+        f"{v['docs']:,} documents ({v['cluster_size']}-doc planted "
+        f"duplicate clusters, dup fraction {v['dup_frac']}); keeper "
+        f"count is closed-form and asserted every run.  Methodology "
+        f"is identical to the flagship harness above (adjacent pairs, "
+        f"alternating order, per-pair pure-CPU calibration, "
+        f"fingerprint-keyed multi-window pooling).\n")
+    lines.append(
+        f"**Multi-window verdict (job fingerprint {mr['job_fp']}, "
+        f"levels {lo}v{hi}): median pair efficiency over "
+        f"{mr['windows']} fresh windows / {mr['pairs']} pairs = "
+        f"{med} — target >= {v.get('target', 0.8)}: **{verdict}**.  "
+        f"Pair efficiencies: {mr['pair_efficiencies']}; per-window "
+        f"run medians: {mr['run_medians']}; pooled median CPU "
+        f"ceiling: {mr['median_cpu_ceiling']}.**\n")
+    lines.append(
+        f"Latest window throughput: local[{hi}] "
+        f"{latest_hi['docs_per_sec']:,.0f} docs/s "
+        f"({latest_hi['median_sec']}s for {v['docs']:,} docs, "
+        f"signatures 64 perms + banded LSH + components to "
+        f"fixpoint).  Per-stage attribution and corpus-sizing "
+        f"rationale: BENCH/ATTRIBUTION.md.")
+    return lines
+
+
 def write_baseline_md(hist: list) -> None:
     by_levels = {}
     for run in hist:
@@ -420,6 +465,7 @@ def write_baseline_md(hist: list) -> None:
             f"{best_run[f'local{lo}']['rows_per_sec']:,.0f} turns/s, "
             f"local[{hi}] {best_run[f'local{hi}']['rows_per_sec']:,.0f} "
             f"turns/s.")
+    lines.extend(_dedup_section())
     lines.append("""
 ### Job under test
 
