@@ -497,6 +497,43 @@ def _q_minhash_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "rep_id", "is_keeper", "n_cand_edges"))
 
 
+def _q_minhash_dedup_unverified(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Cluster-scale keep/drop dedup on the UNVERIFIED path
+    (operators/dedup.py minhash_dedup with threshold=None — the
+    standard crawl-pipeline setting and the exact configuration the
+    scaling bench measures): band-bucket co-occurrence IS the
+    duplicate edge, so the decision flows signatures → banding →
+    singleton pruning + bucket-min star contraction (one window pass,
+    dedup.py lsh_components) → min-label components.  A planted
+    cluster of 800 identical documents (distinctive synthetic text,
+    ids 3,000,000..3,000,799) must map to rep_id 3,000,000 with
+    exactly one keeper.  ``assume_unique_ids=True`` is exercised too:
+    doc_id is a primary key for corpus+cluster by construction.
+
+    The oracle is exact and data-independent: identical text ⇒
+    identical signatures ⇒ the cluster shares every band bucket ⇒ one
+    component whose min id is 3,000,000.  Natural corpus docs share a
+    planted bucket only on a 64-bit xxhash64 band-key collision of
+    distinctive-vocabulary minhashes (probability ~0); they still
+    co-run and must be singleton-pruned/contracted around."""
+    from t_digest_spark.operators.dedup import minhash_dedup
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    k = 800
+    planted = spark.range(k).select(
+        (F.col("id") + 3_000_000).alias("doc_id"),
+        F.lit("unverified dedup oracle cluster with deliberately "
+              "distinctive vocabulary glockenspiel periwinkle "
+              "archipelago thermocline xylophone").alias("text"))
+    both = docs.unionByName(planted)
+    dec = minhash_dedup(both, "text", "doc_id", k_shingle=5,
+                        num_perm=64, bands=16, threshold=None,
+                        assume_unique_ids=True)
+    return (dec.where(F.col("doc_id") >= 3_000_000)
+            .select("doc_id", "rep_id", "is_keeper"))
+
+
 def _q_simhash_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-scale keep/drop SimHash dedup (operators/dedup.py
     simhash_dedup): a planted cluster of 600 identical documents
@@ -934,6 +971,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": _q_minhash_pairs,
     "simhash_neardup_pairs": _q_simhash_neardup_pairs,
     "minhash_dedup_cluster": _q_minhash_dedup_cluster,
+    "minhash_dedup_unverified": _q_minhash_dedup_unverified,
     "simhash_dedup_cluster": _q_simhash_dedup_cluster,
     "embedding_dedup_cluster": _q_embedding_dedup_cluster,
     "embedding_neardup_pairs": _q_embedding_neardup_pairs,
@@ -1121,6 +1159,12 @@ ORACLES: dict[str, str] = {
                (i = 0) AS is_keeper,
                CAST(1997 AS BIGINT) AS n_cand_edges
         FROM range(1000) t(i)
+    """,
+    "minhash_dedup_unverified": """
+        SELECT CAST(3000000 + i AS BIGINT) AS doc_id,
+               CAST(3000000 AS BIGINT) AS rep_id,
+               (i = 0) AS is_keeper
+        FROM range(800) t(i)
     """,
     "simhash_dedup_cluster": """
         SELECT CAST(2000000 + i AS BIGINT) AS doc_id,

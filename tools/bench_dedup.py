@@ -22,15 +22,17 @@ Usage: python tools/bench_dedup.py [--docs 1200000] [--levels 2,8]
                                    [--pairs 3]
 
 Corpus sizing (round 5): per-stage attribution at 400k docs showed the
-job carries a ~2-3 s parallelism-independent tail (driver convergence
-actions, Python worker spawn, sub-second stages) — an Amdahl floor of
-the SMALL bench job, not of the plan: at 8 cores the whole job was
-~10 s, so the fixed tail alone caps measurable efficiency near ~0.75
-even when every scalable stage is perfect.  A cluster-scale dedup run
-is hours long and never sees that floor, so the default corpus is
-sized (1.2M docs) to keep the scalable fraction >=90% of the critical
-path.  The pooled verdict additionally keys on (docs, cluster_size)
-so windows at different corpus sizes never vote together.
+job carries a parallelism-independent tail (driver convergence
+actions, Python worker spawn, per-stage scheduling, sub-second
+stages) — an Amdahl floor of the SMALL bench job, not of the plan: a
+cluster-scale dedup run is hours long and never sees it.  After the
+round-5 kernel work (star contraction + window fusion, see
+BENCH/ATTRIBUTION.md) the residual flat tail measures ~7 s
+irrespective of corpus size, so the default corpus is sized (2.4M
+docs, ~39 s at 8 cores) to keep the scalable fraction >=85% of the
+8-core critical path.  The pooled verdict additionally keys on
+(docs, cluster_size, dup_frac) so windows at different corpus sizes
+never vote together.
 """
 
 from __future__ import annotations
@@ -148,7 +150,7 @@ def run_one(cpus: int, n_docs: int, cluster_size: int,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=1_200_000)
+    ap.add_argument("--docs", type=int, default=2_400_000)
     ap.add_argument("--cluster-size", type=int, default=100)
     ap.add_argument("--dup-frac", type=float, default=0.2)
     ap.add_argument("--levels", type=str, default="2,8")
