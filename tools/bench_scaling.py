@@ -363,6 +363,8 @@ def _dedup_section() -> list:
         f"is identical to the flagship harness above (adjacent pairs, "
         f"alternating order, per-pair pure-CPU calibration, "
         f"fingerprint-keyed multi-window pooling).\n")
+    ceil = mr.get("median_cpu_ceiling")
+    norm = round(med / ceil, 3) if ceil else None
     lines.append(
         f"**Multi-window verdict (job fingerprint {mr['job_fp']}, "
         f"levels {lo}v{hi}): median pair efficiency over "
@@ -370,7 +372,11 @@ def _dedup_section() -> list:
         f"{med} — target >= {v.get('target', 0.8)}: **{verdict}**.  "
         f"Pair efficiencies: {mr['pair_efficiencies']}; per-window "
         f"run medians: {mr['run_medians']}; pooled median CPU "
-        f"ceiling: {mr['median_cpu_ceiling']}.**\n")
+        f"ceiling: {mr['median_cpu_ceiling']}"
+        + (f"; efficiency/ceiling = {norm} (what the job achieves "
+           f"relative to the host's own adjacent pure-CPU 2v8 "
+           f"scaling that minute)" if norm else "")
+        + ".**\n")
     lines.append(
         f"Latest window throughput: local[{hi}] "
         f"{latest_hi['docs_per_sec']:,.0f} docs/s "
