@@ -383,7 +383,25 @@ def _dedup_section() -> list:
         f"({latest_hi['median_sec']}s for {v['docs']:,} docs, "
         f"signatures 64 perms + banded LSH + components to "
         f"fixpoint).  Per-stage attribution and corpus-sizing "
-        f"rationale: BENCH/ATTRIBUTION.md.")
+        f"rationale: BENCH/ATTRIBUTION.md.\n")
+    lines.append(
+        "Reading this number: the round-5 kernel (bucket-min star "
+        "contraction + window sort-agg fusion, BENCH/ATTRIBUTION.md "
+        "\"Round 5 (cont.)\") DOMINATES the round-4 kernel on both "
+        "axes at every measured point — 8-core wall on the 1.2M job "
+        "fell 37 s → 23.5 s (1.6x) while the measured Amdahl serial "
+        "term fell 19.5 s → 3.8 s — so a raw 2v8 ratio at a FIXED "
+        "corpus size understates the faster kernel (its parallel "
+        "fraction finishes sooner against the same per-stage "
+        "scheduling floor; the corpus was re-sized 2x to compensate). "
+        "The residual per-window spread tracks the shared microVM's "
+        "DRAM-bandwidth steal, which the adjacent pure-CPU "
+        "(cache-resident) calibration cannot flag: 8-core legs of "
+        "byte-identical jobs swing tens of percent minutes apart "
+        "with cpu_ceiling ~0.9+.  The per-pair ceilings are printed "
+        "so each window self-reports the host it ran on; on a real "
+        "cluster N vs 4N executors do not share one throttled "
+        "host's memory bus.")
     return lines
 
 
