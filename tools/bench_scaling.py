@@ -393,15 +393,22 @@ def _dedup_section() -> list:
         "term fell 19.5 s → 3.8 s — so a raw 2v8 ratio at a FIXED "
         "corpus size understates the faster kernel (its parallel "
         "fraction finishes sooner against the same per-stage "
-        "scheduling floor; the corpus was re-sized 2x to compensate). "
-        "The residual per-window spread tracks the shared microVM's "
-        "DRAM-bandwidth steal, which the adjacent pure-CPU "
-        "(cache-resident) calibration cannot flag: 8-core legs of "
-        "byte-identical jobs swing tens of percent minutes apart "
-        "with cpu_ceiling ~0.9+.  The per-pair ceilings are printed "
-        "so each window self-reports the host it ran on; on a real "
-        "cluster N vs 4N executors do not share one throttled "
-        "host's memory bus.")
+        "scheduling floor; the corpus was re-sized 2x to "
+        "compensate).  The residual gap is attributed per stage in "
+        "ATTRIBUTION.md \"Round 5 (final decomposition)\": (a) the "
+        "8-core leg of byte-identical runs swings tens of percent "
+        "minutes apart (43.4–63.9 s across this pool) and pair "
+        "efficiency tracks the adjacent host calibration; (b) AQE "
+        "coalesces the window stage to ~10 reduce tasks, which pack "
+        "perfectly at 2 slots but quantize to 2 waves at 8 slots "
+        "(measured occupancy 0.85 vs 0.97 for the signature stage) — "
+        "a local[n] artifact a 64-reducer cluster topology does not "
+        "have; and (c) a control probe (BENCH/membw_probe.json) "
+        "shows this host scaling a plain 40M-row exchange+sort at "
+        "0.91 efficiency in the same minutes, i.e. the plan's "
+        "building blocks scale when the host cooperates.  Per-pair "
+        "ceilings are printed so each window self-reports the host "
+        "it ran on.")
     return lines
 
 
