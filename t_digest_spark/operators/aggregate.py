@@ -422,10 +422,16 @@ def merge_digests_df(
     Grouped path: ``repartition(keys)`` co-locates every key's partials,
     then a whole-partition ``mapInArrow`` kernel merges all keys of the
     partition in ONE Python round-trip (see _partition_merge_gen).  The
-    partition count is pinned to spark.sql.shuffle.partitions: AQE
-    coalescing buys nothing on a sketch-row exchange and its coalesced
-    count (sized by bytes) can sit badly on the core count (measured:
-    11 tasks on 8 cores = a 27% idle tail on the reduce stage)."""
+    repartition is BY COLUMN with no pinned count, so AQE sizes the
+    reduce stage by actual partial bytes (guide §2.2): a 15-row digest
+    table collapses to ONE task instead of spark.sql.shuffle.partitions
+    near-empty Python round-trips (measured 0.65 s/query saved on the
+    sf0.1 headline bench, where the pinned 64-task stage dominated the
+    merge), while a multi-MB partial table keeps enough partitions for
+    real parallelism (the r5-pinned 64-task shape measured equal within
+    noise on the 90k-partial q3 merge).  Every downstream consumer of
+    the merge output (quantile-extract UDFs, collect) inherits the
+    right-sized partitioning too."""
     group_cols = list(group_cols)
     schema = StructType(
         [partials.schema[c] for c in group_cols]
@@ -433,9 +439,8 @@ def merge_digests_df(
            StructField("rows", LongType(), False)]
     )
     if group_cols:
-        n_shuffle = _shuffle_partitions(partials)
         rep = (partials.select(*group_cols, DIGEST_FIELD, "rows")
-               .repartition(n_shuffle, *group_cols))
+               .repartition(*group_cols))
         return rep.mapInArrow(
             _partition_merge_gen(compression, scale, group_cols),
             schema=schema)
@@ -493,9 +498,8 @@ def tree_merge(
     # keys x fanout groups, where per-group applyInPandas overhead would
     # hurt the most.
     salt_keys = group_cols + ["__salt"]
-    n_shuffle = _shuffle_partitions(partials)
     level1 = (salted.select(*salt_keys, DIGEST_FIELD, "rows")
-              .repartition(n_shuffle, *salt_keys)
+              .repartition(*salt_keys)
               .mapInArrow(
                   _partition_merge_gen(2 * compression, scale, salt_keys),
                   schema=schema))

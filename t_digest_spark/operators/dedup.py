@@ -771,8 +771,28 @@ def lsh_components(edges: DataFrame, id_col: str = "doc_id",
     # 8 cores (memory-bound) while the sort does not.
     from pyspark.sql import Window
 
+    from .aggregate import _shuffle_partitions
+
+    # The window's exchange is PINNED at spark.sql.shuffle.partitions
+    # via an explicit repartition by __b (which the window's
+    # ClusteredDistribution reuses — still exactly ONE exchange).  An
+    # implicit window exchange is AQE-coalescible, and AQE's byte-sized
+    # coalescing quantizes this heavy sort stage onto the core count
+    # badly: the r5 A-B-B-A probe (BENCH/aqe_ab_probe.json) measured
+    # the coalesced ~10-task stage at 60.8/101.4 s vs 52.0/50.7 s for
+    # the pinned 64-task shape at local[8] on 2.4M docs — fewer, larger
+    # sort tasks lose tail-hiding and amplify host noise.  Downstream
+    # exchanges (star-edge dropDuplicates, convergence counts) carry
+    # only the contracted duplicate subgraph and stay coalescible.
+    # Null bucket keys are dropped first: Window.partitionBy groups all
+    # NULLs into one pseudo-bucket, which would star-contract unrelated
+    # docs into one component; a null bucket carries no co-occurrence
+    # evidence, so the correct edge contribution is none (ids with no
+    # surviving bucket remain their own representative).
     w = Window.partitionBy("__b")
     e = (e_all
+         .where(F.col("__b").isNotNull())
+         .repartition(_shuffle_partitions(e_all), "__b")
          .withColumn("__c", F.count(F.lit(1)).over(w))
          .withColumn("__bm", F.min("__id").over(w))
          .where(F.col("__c") > 1)
