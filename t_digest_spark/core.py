@@ -43,7 +43,8 @@ import numpy as np
 
 from .scale import K_2, get_scale
 
-__all__ = ["TDigest", "merge_digests", "merge_blobs"]
+__all__ = ["TDigest", "merge_digests", "merge_blobs",
+           "try_singleton_blob"]
 
 _VERBOSE_ENCODING = 1
 _SMALL_ENCODING = 2
@@ -919,6 +920,82 @@ class TDigest:
         return (f"TDigest(compression={self.public_compression}, "
                 f"scale={self.scale.name}, n={self.size}, "
                 f"centroids={self._ncentroids})")
+
+
+# probe digests for try_singleton_blob, one per (compression,
+# buffer_size, scale-name): only read for their derived working
+# compression / flag set, never mutated; paired with a per-n
+# eligibility memo
+_SINGLETON_PROBES: dict = {}
+
+
+def _singletons_survive(probe: "TDigest", n: int) -> bool:
+    """Would a single merge pass over n unit-weight samples keep every
+    sample as its own centroid?  Evaluates the SAME all-singletons
+    early-exit predicate ``_cluster_starts`` uses, with the probe's
+    working compression."""
+    if n > probe._buffer_size - 1:
+        # one add_batch must fit the buffer without an overflow merge
+        return False
+    if n <= 2:
+        return True
+    total = float(n)
+    sc = probe.scale
+    normalizer = sc.normalizer(probe.compression, total)
+    csum = np.arange(1.0, total + 1.0)
+    if probe.use_weight_limit:
+        cap2 = total * sc.max_size(csum / total, normalizer)
+        return not np.any(cap2[2:] >= 2.0)
+    w_lim = total * sc.q(
+        sc.k(csum[:-2] / total, normalizer) + 1, normalizer)
+    slack = 4 * np.finfo(np.float64).eps
+    return not np.any(csum[2:] <= w_lim + slack * np.abs(w_lim))
+
+
+def try_singleton_blob(values: np.ndarray, compression: float = 100.0,
+                       buffer_size: int = -1, scale=K_2) -> bytes | None:
+    """VERBOSE partial blob of sorted unit-weight singletons — or None.
+
+    Bit-identical fast path for ``TDigest(compression, buffer_size,
+    scale=scale).add_batch(values); to_bytes(compress=False)`` in the
+    high-cardinality grouped-aggregation shape (many keys, few samples
+    each), where the full path's per-key fixed cost (digest
+    construction + merge pass + cluster sweep) measured ~55 us/key vs
+    ~3 us for a sort+pack.  Eligibility is decided by the SAME
+    all-singletons early-exit predicate ``_cluster_starts`` uses: when
+    no adjacent pair of unit weights can merge under the working
+    compression, the merge pass provably returns every sample as its
+    own centroid, so serializing the sorted samples directly yields the
+    exact bytes the full path would (asserted over a sweep in
+    tests/test_spark_agg.py).  Returns None when a merge could occur
+    (caller falls back to the real digest) — correctness never depends
+    on the predicate being tight.
+
+    ``values`` must be non-empty, NaN-free, unit-weight.
+    """
+    n = values.size
+    key = (compression, buffer_size, get_scale(scale).name)
+    entry = _SINGLETON_PROBES.get(key)
+    if entry is None:
+        entry = _SINGLETON_PROBES[key] = (
+            TDigest(compression, buffer_size=buffer_size, scale=scale), {})
+    probe, elig_cache = entry
+    # eligibility depends only on n for unit weights — memoize it (the
+    # predicate costs ~25 us vectorized; group sizes repeat heavily
+    # within a task)
+    ok = elig_cache.get(n)
+    if ok is None:
+        ok = _singletons_survive(probe, n)
+        elig_cache[n] = ok
+    if not ok:
+        return None
+    s = np.sort(values)
+    head = struct.pack(">iddd i", _VERBOSE_ENCODING, float(s[0]),
+                       float(s[-1]), probe.public_compression, n)
+    pairs = np.empty((n, 2), dtype=">f8")
+    pairs[:, 0] = 1.0
+    pairs[:, 1] = s
+    return head + pairs.tobytes()
 
 
 def _weighted_average(x1: float, w1: float, x2: float, w2: float) -> float:

@@ -41,7 +41,7 @@ from pyspark.sql.types import (
     BinaryType, DoubleType, LongType, StructField, StructType,
 )
 
-from ..core import TDigest, merge_blobs, merge_digests
+from ..core import TDigest, merge_blobs, merge_digests, try_singleton_blob
 
 __all__ = [
     "partial_digests",
@@ -191,6 +191,11 @@ class DigestAccumulator:
         self.counts: dict[tuple, int] = {}
         # canon key -> first-seen original values, for emission
         self._orig: dict[tuple, tuple] = {}
+        # whether any key column's type can need canonicalization
+        # (floats: NaN/-0.0 folding; nested: unhashable) — decided from
+        # the first batch's Arrow schema; string/int/timestamp keys
+        # skip the per-group canon+norm entirely
+        self._needs_canon: bool | None = None
         self.key_schema: list = [None] * n_keys
         # per-key deferred chunks: when a batch spans many groups the
         # per-group slices are tiny (tens of rows) and TDigest.add_batch's
@@ -254,6 +259,13 @@ class DigestAccumulator:
         ok = ~np.isnan(values)  # aggregate ignores NULL/NaN inputs
         if weights is not None:
             ok &= ~np.isnan(weights) & (weights > 0)
+        if self._needs_canon is None and n_keys:
+            def _can_need(t):
+                return (pa.types.is_floating(t) or pa.types.is_nested(t)
+                        or pa.types.is_decimal(t))
+            self._needs_canon = any(
+                _can_need(batch.schema.field(i).type)
+                for i in range(n_keys))
 
         if n_keys == 0:
             v = values[ok] if not ok.all() else values
@@ -315,6 +327,7 @@ class DigestAccumulator:
         ends = np.concatenate((bounds, [sorted_codes.size]))
         sorted_values = values[order]
         sorted_weights = weights[order] if weights is not None else None
+        needs_canon = self._needs_canon
         for s, e in zip(starts, ends):
             if sorted_codes[s] < 0:  # filtered-out rows bucket
                 continue
@@ -323,8 +336,11 @@ class DigestAccumulator:
                 dicts[i][codes_list[i][row0]]
                 if codes_list[i][row0] >= 0 else None
                 for i in range(n_keys))
-            key = _canon_key(raw)
-            self._orig.setdefault(key, _norm_orig(raw))
+            if needs_canon:
+                key = _canon_key(raw)
+                self._orig.setdefault(key, _norm_orig(raw))
+            else:
+                key = raw
             # .copy() so the parked chunk doesn't pin this batch's full
             # sorted array until flush time
             self._push(key, sorted_values[s:e].copy(),
@@ -334,11 +350,31 @@ class DigestAccumulator:
     def finish(self):
         import pyarrow as pa
 
+        # small unit-weight keys take the bit-identical singleton
+        # serialization fast path (core.try_singleton_blob): in
+        # high-cardinality groupings (the flagship (role, ts_hour)
+        # shape: thousands of keys x ~tens of rows each per partition)
+        # the per-key digest construction + merge pass was the dominant
+        # finalize cost (~55 us/key vs ~3 us packed) while provably
+        # producing the same bytes.  Keys with a live digest (already
+        # flushed once) or explicit weights use the full path.
+        fast: dict[tuple, bytes] = {}
         for key in list(self._chunks):
-            self._flush_key(key)
-        if not self.acc:
+            blob = None
+            if not self.has_weight and key not in self.acc:
+                lst = self._chunks[key]
+                v = lst[0] if len(lst) == 1 else np.concatenate(lst)
+                blob = try_singleton_blob(v, self.compression,
+                                          self.buffer_size, self.scale)
+            if blob is None:
+                self._flush_key(key)
+                continue
+            fast[key] = blob
+            self.counts[key] = self._chunk_rows.pop(key)
+            del self._chunks[key]
+        if not self.acc and not fast:
             return None
-        keys = list(self.acc.keys())
+        keys = list(self.acc.keys()) + list(fast.keys())
         arrays = []
         names = []
         for i, c in enumerate(self.group_cols):
@@ -348,7 +384,8 @@ class DigestAccumulator:
                 [self._orig.get(k, k)[i] for k in keys], type=typ))
             names.append(c)
         arrays.append(pa.array(
-            [self.acc[k].to_bytes(compress=False) for k in keys],
+            [fast[k] if k in fast
+             else self.acc[k].to_bytes(compress=False) for k in keys],
             type=pa.binary()))
         names.append(DIGEST_FIELD)
         arrays.append(pa.array([self.counts[k] for k in keys],
@@ -371,18 +408,27 @@ def _partition_merge_gen(compression: float, scale: str,
 
     def gen(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
+        batches = [b for b in batches if b.num_rows]
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)  # digest rows — tiny vs raw
+        key_fields = [tbl.schema.field(i) for i in range(n_keys)]
+        needs_canon = any(
+            pa.types.is_floating(f.type) or pa.types.is_nested(f.type)
+            or pa.types.is_decimal(f.type) for f in key_fields)
+        n = tbl.num_rows
+        bcol = tbl.column(n_keys).to_pylist()
+        rcol = tbl.column(n_keys + 1).to_numpy(zero_copy_only=False)
         blobs: dict[tuple, list] = {}
         rows: dict[tuple, int] = {}
         origs: dict[tuple, tuple] = {}
-        key_fields: list = [None] * n_keys
-        for batch in batches:
-            for i in range(n_keys):
-                key_fields[i] = batch.schema.field(i)
-            cols = [batch.column(i).to_pylist() for i in range(n_keys)]
-            bcol = batch.column(n_keys).to_pylist()
-            rcol = batch.column(n_keys + 1).to_pylist()
-            for j in range(batch.num_rows):
+        if needs_canon:
+            # float / nested / decimal keys: per-row canonicalization
+            # (NaN folding, -0.0, unhashable lists) — the cold path
+            cols = [tbl.column(i).to_pylist() for i in range(n_keys)]
+            for j in range(n):
                 raw = tuple(c[j] for c in cols)
                 key = _canon_key(raw)
                 lst = blobs.get(key)
@@ -392,12 +438,41 @@ def _partition_merge_gen(compression: float, scale: str,
                     origs[key] = _norm_orig(raw)
                 lst.append(bcol[j])
                 rows[key] += rcol[j]
-        if not blobs:
-            return
+        else:
+            # vectorized grouping, same dictionary-encode + combined-
+            # code scheme as stage 1 (DigestAccumulator.update): Python
+            # touches each GROUP once, never each row
+            combined = None
+            codes_list = []
+            dicts = []
+            for i in range(n_keys):
+                enc = pc.dictionary_encode(tbl.column(i).combine_chunks())
+                codes = pc.fill_null(enc.indices, -1).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                dict_vals = enc.dictionary.to_pylist()
+                card = len(dict_vals) + 1
+                combined = codes + 1 if combined is None \
+                    else combined * card + (codes + 1)
+                codes_list.append(codes)
+                dicts.append(dict_vals)
+            order = np.argsort(combined, kind="stable")
+            sorted_codes = combined[order]
+            bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [n]))
+            for s, e in zip(starts, ends):
+                row0 = order[s]
+                key = tuple(
+                    dicts[i][codes_list[i][row0]]
+                    if codes_list[i][row0] >= 0 else None
+                    for i in range(n_keys))
+                idx = order[s:e]
+                blobs[key] = [bcol[j] for j in idx]
+                rows[key] = int(rcol[idx].sum())
         keys = list(blobs)
         arrays = [
-            pa.array([origs[k][i] for k in keys],
-                     type=key_fields[i].type if key_fields[i] else None)
+            pa.array([origs.get(k, k)[i] for k in keys],
+                     type=key_fields[i].type)
             for i in range(n_keys)
         ]
         arrays.append(pa.array(

