@@ -53,6 +53,14 @@ def main():
     sf_dir = args[0] if args and os.path.isdir(args[0]) \
         else "/root/testdata/sf0.01"
     only = set(a for a in args if not os.path.isdir(a))
+    # a gating tool must fail loudly on a filter that matches nothing:
+    # a typo (or --help) would otherwise run zero queries and print
+    # ALL OK with exit 0
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}; "
+              f"known: {sorted(entrymod.queries())}")
+        sys.exit(2)
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -68,9 +76,11 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
+    n_ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_ran += 1
         try:
             sdf = fn(spark, sf_dir)
             spdf = _canon(sdf.toPandas())
@@ -120,6 +130,9 @@ def main():
     if failed:
         print("FAILED:", failed)
         sys.exit(1)
+    if n_ran == 0:
+        print("no queries ran")
+        sys.exit(2)
     print("ALL OK")
 
 
