@@ -491,22 +491,32 @@ def merge_digests_df(
     group_cols: Sequence[str] = (),
     compression: float = 100.0,
     scale: str = "K_2",
+    pin_partitions: bool = False,
 ) -> DataFrame:
     """Stage 2: shuffle the (tiny) digest rows by key and merge per group.
 
     Grouped path: ``repartition(keys)`` co-locates every key's partials,
     then a whole-partition ``mapInArrow`` kernel merges all keys of the
     partition in ONE Python round-trip (see _partition_merge_gen).  The
-    repartition is BY COLUMN with no pinned count, so AQE sizes the
-    reduce stage by actual partial bytes (guide §2.2): a 15-row digest
-    table collapses to ONE task instead of spark.sql.shuffle.partitions
-    near-empty Python round-trips (measured 0.65 s/query saved on the
-    sf0.1 headline bench, where the pinned 64-task stage dominated the
-    merge), while a multi-MB partial table keeps enough partitions for
-    real parallelism (the r5-pinned 64-task shape measured equal within
-    noise on the 90k-partial q3 merge).  Every downstream consumer of
-    the merge output (quantile-extract UDFs, collect) inherits the
-    right-sized partitioning too."""
+    repartition is BY COLUMN with no pinned count by default, so AQE
+    sizes the reduce stage by actual partial bytes (guide §2.2): a
+    15-row digest table collapses to ONE task instead of
+    spark.sql.shuffle.partitions near-empty Python round-trips
+    (measured 0.65 s/query saved on the sf0.1 headline bench, where the
+    pinned 64-task stage dominated the merge).  Every downstream
+    consumer of the merge output (quantile-extract UDFs, collect)
+    inherits the right-sized partitioning too.
+
+    ``pin_partitions=True`` pins the exchange at
+    spark.sql.shuffle.partitions instead — for callers that KNOW the
+    partial table is large (high key cardinality x many partitions):
+    AQE's byte-sized coalescing targets ~defaultParallelism tasks
+    there, and the resulting single ragged wave quantizes badly on the
+    core count (flagship 100M-row job, per-stage event-log profile:
+    the 11-task coalesced merge stage scaled 0.46 from 2 to 8 cores
+    with occupancy 0.73 and task CPU inflated 22 -> 37 core-s, while
+    the pinned 64-task shape — 8 balanced waves — restores tail-hiding;
+    the scan+kernel stage scales 0.95 in the same windows)."""
     group_cols = list(group_cols)
     schema = StructType(
         [partials.schema[c] for c in group_cols]
@@ -514,8 +524,12 @@ def merge_digests_df(
            StructField("rows", LongType(), False)]
     )
     if group_cols:
-        rep = (partials.select(*group_cols, DIGEST_FIELD, "rows")
-               .repartition(*group_cols))
+        sel = partials.select(*group_cols, DIGEST_FIELD, "rows")
+        if pin_partitions:
+            rep = sel.repartition(_shuffle_partitions(partials),
+                                  *group_cols)
+        else:
+            rep = sel.repartition(*group_cols)
         return rep.mapInArrow(
             _partition_merge_gen(compression, scale, group_cols),
             schema=schema)

@@ -400,5 +400,10 @@ def turn_digests_clustered(transcripts: DataFrame,
                         + list(rb.schema)))
 
     partials = narrow.mapInArrow(fused, schema=out_schema)
+    # pin_partitions: this operator's shape is high key cardinality
+    # (e.g. (role, ts_hour): thousands of keys) x one partial per key
+    # per scan partition — a large partial table whose merge stage
+    # needs balanced waves, not AQE's ~core-count coalescing (see
+    # merge_digests_df docstring for the 2v8 per-stage evidence)
     return merge_digests_df(partials, ["metric"] + group_cols,
-                            compression, scale)
+                            compression, scale, pin_partitions=True)
